@@ -1,0 +1,125 @@
+"""Headline benchmark (BASELINE.md): ALS rows-solved/sec/chip, rank-64,
+ML-25M-scale, vs the measured CPU oracle baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The real MovieLens archives are not downloadable in this environment
+(SURVEY.md §0), so the bench runs on a synthetic ratings set with ML-25M's
+shape (162541 users x 62423 items, 25M interactions, power-law item
+popularity). The CPU baseline is the bundled reference-faithful NumPy/SciPy
+oracle (Python per-row loops + scipy solve — SURVEY.md §6: the reference
+publishes no numbers, so the baseline is measured here), sampled over enough
+rows to be stable and expressed as rows/sec.
+
+Env knobs: BENCH_SCALE=ml25m|ml1m|tiny, BENCH_RANK, BENCH_SWEEPS,
+BENCH_SOLVER=xla|pallas, BENCH_DTYPE=float32|bfloat16.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SCALES = {
+    # n_users, n_items, n_obs
+    "ml25m": (162_541, 62_423, 25_000_000),
+    "ml1m": (6_040, 3_706, 1_000_209),
+    "ml100k": (943, 1_682, 100_000),
+    "tiny": (2_000, 1_500, 120_000),
+}
+
+
+def main() -> None:
+    scale = os.environ.get("BENCH_SCALE", "ml25m")
+    rank = int(os.environ.get("BENCH_RANK", "64"))
+    n_sweeps = int(os.environ.get("BENCH_SWEEPS", "3"))
+    solver = os.environ.get("BENCH_SOLVER", "xla")
+    compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    n_users, n_items, n_obs = SCALES[scale]
+
+    import jax
+    import jax.numpy as jnp
+    from recommendation_models_tpu.config import SolveConfig
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    from recommendation_models_tpu.data.synthetic import synthetic_ratings
+    from recommendation_models_tpu.oracle.als_numpy import OracleALS
+    from recommendation_models_tpu.solver.als_sweep import (
+        device_buckets, make_sweep_fns,
+    )
+
+    t0 = time.perf_counter()
+    users, items, ratings = synthetic_ratings(
+        n_users, n_items, n_obs, rank=16, seed=0)
+    nnz = ratings.shape[0]
+    user_layout = layout_from_coo(users, items, ratings, n_users, n_items)
+    item_layout = layout_from_coo(users, items, ratings, n_users, n_items,
+                                  transpose=True)
+    t_data = time.perf_counter() - t0
+    print(f"# data: {nnz} obs, layout waste user={user_layout.padding_waste():.2%} "
+          f"item={item_layout.padding_waste():.2%}, {t_data:.1f}s",
+          file=sys.stderr)
+
+    cfg = SolveConfig(rank=rank, reg=0.1, solver=solver,
+                      compute_dtype=compute_dtype)
+    ub = device_buckets(user_layout)
+    ib = device_buckets(item_layout)
+    sweep, train_sse = make_sweep_fns(ub, ib, n_users, n_items, cfg)
+
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(0.01 * rng.standard_normal((n_users, rank)), jnp.float32)
+    V = jnp.asarray(0.01 * rng.standard_normal((n_items, rank)), jnp.float32)
+
+    # warmup/compile
+    U, V = sweep(U, V)
+    jax.block_until_ready((U, V))
+    t1 = time.perf_counter()
+    for _ in range(n_sweeps):
+        U, V = sweep(U, V)
+    jax.block_until_ready((U, V))
+    elapsed = time.perf_counter() - t1
+    rows_per_sweep = n_users + n_items
+    rows_per_sec = rows_per_sweep * n_sweeps / elapsed
+    rmse = float(jnp.sqrt(train_sse(U, V) / nnz))
+    epoch_s = elapsed / n_sweeps
+    print(f"# tpu: {epoch_s:.3f}s/epoch, rmse={rmse:.4f}, "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+    # ----- CPU oracle baseline on a row sample ------------------------------
+    import scipy.sparse as sp
+    R = sp.csr_matrix((ratings, (users, items)), shape=(n_users, n_items))
+    sample_rows = min(n_users, max(200, int(os.environ.get("BENCH_ORACLE_ROWS",
+                                                           "1000"))))
+    Rs = R[:sample_rows]
+    oracle = OracleALS(rank=rank, reg=0.1)
+    V_host = np.asarray(V, np.float64)
+    t2 = time.perf_counter()
+    oracle.half_sweep(Rs, V_host)
+    oracle_elapsed = time.perf_counter() - t2
+    oracle_rows_per_sec = sample_rows / oracle_elapsed
+    print(f"# oracle: {oracle_rows_per_sec:.1f} rows/s over {sample_rows} rows",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"als_rows_solved_per_sec_per_chip_rank{rank}_{scale}_synth",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s/chip",
+        "vs_baseline": round(rows_per_sec / oracle_rows_per_sec, 2),
+        "extra": {
+            "epoch_seconds": round(epoch_s, 4),
+            "train_rmse": round(rmse, 5),
+            "nnz": int(nnz),
+            "solver": solver,
+            "compute_dtype": compute_dtype,
+            "oracle_rows_per_sec": round(oracle_rows_per_sec, 1),
+            "device": jax.devices()[0].device_kind,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Config dataclasses (SURVEY.md §5 'Config / flag system').
+
+The user surface stays sklearn-style estimator kwargs (reference parity);
+these frozen dataclasses are the layer beneath, consumed by the solver,
+layout, and mesh code, and parsed from CLI by the bench/train entry points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveConfig:
+    """Controls the per-row normal-equation solve path."""
+
+    rank: int = 10
+    # L2 regularization strength (lambda). The reference's `lambda_`.
+    reg: float = 0.1
+    # Scale reg by row degree (the common "weighted-lambda" ALS variant).
+    reg_by_degree: bool = False
+    # Implicit-feedback confidence alpha (Hu-Koren-Volinsky). None => explicit.
+    alpha: Optional[float] = None
+    # Gather/gram chunk along the padded-degree axis; bounds VMEM/HBM use for
+    # whale rows (SURVEY.md §5 "long-context" analog: chunked gram accumulation).
+    chunk: int = 512
+    # 'xla' = jnp.linalg.cholesky + cho_solve; 'pallas' = fused Pallas kernel;
+    # 'qr' = lstsq-style fallback for ill-conditioned tests.
+    solver: str = "xla"
+    # dtype for the gram/matmul compute path (factors are always float32).
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout (SURVEY.md §2.2 N4/N6)."""
+
+    # Number of shards along the table-sharding ('data') axis. None = all
+    # local devices (or 1 if running single-device).
+    n_shards: Optional[int] = None
+    # 'allgather': replicate the opposite factor table per half-sweep
+    #   (ALX-style dense gramian path; right choice while a table fits HBM).
+    # 'all_to_all': request/response embedding exchange across table shards
+    #   (SURVEY.md N5; for tables too large to replicate).
+    exchange: str = "allgather"
+    # Mesh axis name used for the table shards.
+    axis: str = "data"
+    # Optional explicit platform ('cpu' to force the host mesh in tests).
+    platform: Optional[str] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Ratings ingest and padded-layout construction (SURVEY.md N1/N12)."""
+
+    # Degree buckets are powers of two between these bounds; rows pad up to
+    # their bucket. Lower bound 8 matches the f32 sublane tile.
+    min_bucket: int = 8
+    max_bucket: int = 1 << 17
+    # Pad each bucket's row count to a multiple of this (sublane alignment).
+    row_multiple: int = 8
+    # Cap on padding blowup before a row is split across chunks internally.
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Sweep-loop hyperparameters (reference: max_iter / tol)."""
+
+    n_sweeps: int = 10
+    tol: float = 0.0  # 0 => always run n_sweeps (deterministic benches)
+    eval_every: int = 1
+    seed: int = 0
+    init_scale: float = 0.01
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0  # 0 => disabled
+
+
+__all__ = ["SolveConfig", "MeshConfig", "DataConfig", "FitConfig"]

@@ -1,0 +1,287 @@
+"""ALS estimator — the reference's `class ALS` (SURVEY.md §2.1 row 2),
+sklearn-style surface over the TPU-native engine.
+
+API parity (fit / predict / score / get_params / set_params / top-N) with
+NumPy/scipy-sparse in, NumPy out; the mesh, padded layout, sharding, and
+jitted sweeps are hidden beneath (SURVEY.md N11). Objectives:
+
+  alpha=None  explicit least squares on ratings (reference default)
+  alpha=a     Hu-Koren-Volinsky confidence-weighted implicit objective
+
+`score` returns **negative RMSE** over the provided entries (higher-is-better
+per the sklearn contract; exact reference semantics are re-verification item
+SURVEY.md §0.5 — `rmse()` is also exposed directly).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from recommendation_models_tpu.config import DataConfig, SolveConfig
+from recommendation_models_tpu.data.layout import (
+    build_layout, csr_arrays, layout_from_coo, shard_layout,
+)
+from recommendation_models_tpu.models.base import BaseEstimator
+from recommendation_models_tpu.ops.topk import topk_scores
+from recommendation_models_tpu.solver.als_sweep import device_buckets, make_sweep_fns
+
+
+class ALS(BaseEstimator):
+    """TPU-native alternating least squares matrix factorization.
+
+    Parameters mirror the reference estimator (rank, reg/lambda_, max_iter->
+    n_sweeps, tol, random seed) plus TPU-engine knobs (solver, chunk,
+    n_shards, exchange, compute_dtype).
+    """
+
+    def __init__(
+        self,
+        rank: int = 10,
+        reg: float = 0.1,
+        alpha: Optional[float] = None,
+        n_sweeps: int = 10,
+        tol: float = 0.0,
+        reg_by_degree: bool = False,
+        solver: str = "xla",
+        chunk: int = 512,
+        compute_dtype: str = "float32",
+        n_shards: Optional[int] = None,
+        exchange: str = "allgather",
+        platform: Optional[str] = None,
+        seed: int = 0,
+        init_scale: float = 0.01,
+        min_bucket: int = 8,
+        max_bucket: int = 1 << 17,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+        verbose: int = 0,
+    ):
+        self.rank = rank
+        self.reg = reg
+        self.alpha = alpha
+        self.n_sweeps = n_sweeps
+        self.tol = tol
+        self.reg_by_degree = reg_by_degree
+        self.solver = solver
+        self.chunk = chunk
+        self.compute_dtype = compute_dtype
+        self.n_shards = n_shards
+        self.exchange = exchange
+        self.platform = platform
+        self.seed = seed
+        self.init_scale = init_scale
+        self.min_bucket = min_bucket
+        self.max_bucket = max_bucket
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.verbose = verbose
+
+    # ------------------------------------------------------------------
+    def _solve_config(self) -> SolveConfig:
+        return SolveConfig(
+            rank=self.rank, reg=self.reg, reg_by_degree=self.reg_by_degree,
+            alpha=self.alpha, chunk=self.chunk, solver=self.solver,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def _data_config(self) -> DataConfig:
+        return DataConfig(min_bucket=self.min_bucket, max_bucket=self.max_bucket)
+
+    def _init_factors_host(self, n_users, n_items):
+        key_u, key_v = jax.random.split(jax.random.PRNGKey(self.seed))
+        U = self.init_scale * jax.random.normal(key_u, (n_users, self.rank))
+        V = self.init_scale * jax.random.normal(key_v, (n_items, self.rank))
+        return U.astype(jnp.float32), V.astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+    def fit(self, R, U0=None, V0=None):
+        """Fit factors to the ratings matrix R (scipy sparse or dense).
+
+        Optional U0/V0 warm starts (also used by parity tests to pin init).
+        """
+        if self.rank < 1:
+            raise ValueError(f"rank must be >= 1, got {self.rank}")
+        if self.reg < 0:
+            raise ValueError(f"reg must be >= 0, got {self.reg}")
+        if self.n_sweeps < 1:
+            raise ValueError(f"n_sweeps must be >= 1, got {self.n_sweeps}")
+        indptr, indices, data, n_users, n_items = csr_arrays(R)
+        self.n_users_, self.n_items_ = n_users, n_items
+        self._train_indptr, self._train_indices = indptr, indices
+        dcfg, scfg = self._data_config(), self._solve_config()
+        nnz = indices.shape[0]
+
+        n_shards = self.n_shards
+        if n_shards is not None and n_shards > 1:
+            return self._fit_sharded(indptr, indices, data, U0, V0, dcfg, scfg)
+
+        user_layout = build_layout(indptr, indices, data, n_users, n_items, dcfg)
+        # item-major orientation via COO transpose
+        rows = np.repeat(np.arange(n_users), np.diff(indptr))
+        item_layout = layout_from_coo(rows, indices, data, n_users, n_items,
+                                      dcfg, transpose=True)
+        ub = device_buckets(user_layout)
+        ib = device_buckets(item_layout)
+        sweep, train_sse = make_sweep_fns(ub, ib, n_users, n_items, scfg)
+
+        if U0 is not None and V0 is not None:
+            U = jnp.asarray(U0, jnp.float32)
+            V = jnp.asarray(V0, jnp.float32)
+        else:
+            U, V = self._init_factors_host(n_users, n_items)
+
+        self.history_ = []
+        prev = None
+        for s in range(self.n_sweeps):
+            U, V = sweep(U, V)
+            cur = float(jnp.sqrt(train_sse(U, V) / max(nnz, 1)))
+            self.history_.append(cur)
+            if self.verbose:
+                print(f"[ALS] sweep {s + 1}: train_rmse={cur:.6f}")
+            self._maybe_checkpoint(s, U, V)
+            if self.tol > 0 and prev is not None and abs(prev - cur) < self.tol:
+                break
+            prev = cur
+
+        self.U_ = np.asarray(U)
+        self.V_ = np.asarray(V)
+        return self
+
+    def _fit_sharded(self, indptr, indices, data, U0, V0, dcfg, scfg):
+        from recommendation_models_tpu.parallel.mesh import get_mesh
+        from recommendation_models_tpu.parallel.sharded_als import ShardedALSProgram
+
+        n_users, n_items = self.n_users_, self.n_items_
+        nnz = indices.shape[0]
+        mesh = get_mesh(self.n_shards, platform=self.platform)
+        user_layout = shard_layout(
+            build_layout(indptr, indices, data, n_users, n_items, dcfg),
+            self.n_shards)
+        rows = np.repeat(np.arange(n_users), np.diff(indptr))
+        item_layout = shard_layout(
+            layout_from_coo(rows, indices, data, n_users, n_items, dcfg,
+                            transpose=True),
+            self.n_shards)
+        prog = ShardedALSProgram(user_layout, item_layout, mesh, scfg,
+                                 exchange=self.exchange)
+        self._sharded_program = prog
+
+        if U0 is not None and V0 is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
+            U = jnp.zeros((prog.upr * prog.n_shards, self.rank), jnp.float32
+                          ).at[:n_users].set(jnp.asarray(U0, jnp.float32))
+            V = jnp.zeros((prog.ipr * prog.n_shards, self.rank), jnp.float32
+                          ).at[:n_items].set(jnp.asarray(V0, jnp.float32))
+            U = jax.device_put(U, sharding)
+            V = jax.device_put(V, sharding)
+        else:
+            U, V = prog.init_factors(self.seed, self.init_scale)
+
+        self.history_ = []
+        prev = None
+        for s in range(self.n_sweeps):
+            U, V = prog.sweep(U, V)
+            cur = float(jnp.sqrt(prog.train_sse(U, V) / max(nnz, 1)))
+            self.history_.append(cur)
+            if self.verbose:
+                print(f"[ALS] sweep {s + 1}: train_rmse={cur:.6f}")
+            self._maybe_checkpoint(s, U, V)
+            if self.tol > 0 and prev is not None and abs(prev - cur) < self.tol:
+                break
+            prev = cur
+
+        self.U_ = np.asarray(U)[:n_users]
+        self.V_ = np.asarray(V)[:n_items]
+        return self
+
+    def _maybe_checkpoint(self, sweep_idx, U, V):
+        if not self.checkpoint_dir or not self.checkpoint_every:
+            return
+        if (sweep_idx + 1) % self.checkpoint_every:
+            return
+        from recommendation_models_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(
+            self.checkpoint_dir, step=sweep_idx + 1,
+            state=dict(U=U, V=V,
+                       history=np.asarray(self.history_, np.float32)),
+            metadata={k: v for k, v in self.get_params().items()
+                      if isinstance(v, (int, float, str, bool, type(None)))},
+        )
+
+    def resume(self, checkpoint_dir: Optional[str] = None):
+        """Load factors (and sweep history) from the latest checkpoint."""
+        from recommendation_models_tpu.utils.checkpoint import load_latest
+        step, state = load_latest(checkpoint_dir or self.checkpoint_dir)
+        self.U_ = np.asarray(state["U"])
+        self.V_ = np.asarray(state["V"])
+        self.history_ = list(np.asarray(state["history"]))
+        return step
+
+    # ------------------------------------------------------------------
+    def _check_fitted(self):
+        if not hasattr(self, "U_"):
+            raise RuntimeError("this ALS instance is not fitted yet")
+
+    def predict(self, users, items=None) -> np.ndarray:
+        """Predicted ratings for (user, item) pairs.
+
+        Accepts `predict(pairs)` with an (n, 2) array or `predict(u, i)`.
+        """
+        self._check_fitted()
+        if items is None:
+            pairs = np.asarray(users)
+            users, items = pairs[:, 0], pairs[:, 1]
+        users = np.asarray(users, np.int64)
+        items = np.asarray(items, np.int64)
+        return np.einsum("ok,ok->o", self.U_[users], self.V_[items])
+
+    def predict_all(self, user: int) -> np.ndarray:
+        """Scores for every item for one user (reference `predict_all`)."""
+        self._check_fitted()
+        return self.U_[user] @ self.V_.T
+
+    def rmse(self, R) -> float:
+        indptr, indices, data, _, _ = csr_arrays(R)
+        users = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
+        pred = self.predict(users, indices)
+        return float(np.sqrt(np.mean((data - pred) ** 2)))
+
+    def score(self, R, y=None) -> float:
+        """Negative RMSE over the observed entries of R (higher is better)."""
+        return -self.rmse(R)
+
+    def recommend(self, user_ids, n: int = 10, exclude_seen: bool = True):
+        """Top-n unseen items per user (reference `top_n`, SURVEY.md §3.2).
+
+        Returns (scores (B, n), items (B, n)) as NumPy arrays.
+        """
+        self._check_fitted()
+        user_ids = np.atleast_1d(np.asarray(user_ids, np.int64))
+        n = min(n, self.V_.shape[0])  # never ask top_k for more than exists
+        exclude = None
+        if exclude_seen and hasattr(self, "_train_indptr"):
+            indptr, indices = self._train_indptr, self._train_indices
+            degs = [indptr[u + 1] - indptr[u] for u in user_ids]
+            width = max(1, max(degs, default=1))
+            exclude = np.full((len(user_ids), width), -1, np.int32)
+            for r, u in enumerate(user_ids):
+                lo, hi = indptr[u], indptr[u + 1]
+                exclude[r, : hi - lo] = indices[lo:hi]
+            exclude = jnp.asarray(exclude)
+        scores, items = topk_scores(
+            jnp.asarray(self.U_[user_ids]), jnp.asarray(self.V_), n, exclude)
+        return np.asarray(scores), np.asarray(items)
+
+    def top_n(self, user: int, n: int = 10, exclude_seen: bool = True):
+        """Single-user convenience: ranked item ids."""
+        _, items = self.recommend([user], n, exclude_seen)
+        return items[0]
+
+
+__all__ = ["ALS"]

@@ -1,0 +1,48 @@
+"""Batched SPD solves — the reference's `scipy.linalg.solve`/`lstsq` per row
+(SURVEY.md §2.1 row 4) becomes one batched Cholesky factorization + two
+triangular solves over a whole bucket.
+
+Paths:
+  'xla'    jnp.linalg.cholesky + lax triangular_solve (correctness anchor)
+  'pallas' fused Pallas batched-Cholesky kernel (ops/pallas/cholesky.py)
+  'lu'     jnp.linalg.solve (LU) — robustness fallback for ill-conditioned G
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def add_ridge(G: jnp.ndarray, reg, degrees=None) -> jnp.ndarray:
+    """G + reg*I, optionally scaling reg per row by its degree (the
+    'weighted-lambda' ALS variant)."""
+    k = G.shape[-1]
+    eye = jnp.eye(k, dtype=G.dtype)
+    if degrees is None:
+        return G + reg * eye
+    scale = reg * jnp.maximum(degrees, 1.0)
+    return G + scale[..., None, None] * eye
+
+
+def solve_spd(G: jnp.ndarray, rhs: jnp.ndarray, solver: str = "xla") -> jnp.ndarray:
+    """Solve ``G x = rhs`` for a batch of SPD systems.
+
+    G: (..., k, k), rhs: (..., k) -> x: (..., k).
+    """
+    if solver == "pallas":
+        from recommendation_models_tpu.ops.pallas.cholesky import cholesky_solve
+        return cholesky_solve(G, rhs)
+    if solver == "lu":
+        return jnp.linalg.solve(G, rhs[..., None])[..., 0]
+    if solver != "xla":
+        raise ValueError(f"unknown solver {solver!r}")
+    L = jnp.linalg.cholesky(G)
+    y = jax.lax.linalg.triangular_solve(
+        L, rhs[..., None], left_side=True, lower=True, transpose_a=False)
+    x = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True)
+    return x[..., 0]
+
+
+__all__ = ["solve_spd", "add_ridge"]

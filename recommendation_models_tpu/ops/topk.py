@@ -1,0 +1,124 @@
+"""Top-k dot-product candidate retrieval (SURVEY.md N9; reference §2.1 row 9).
+
+The reference's `top_n` is `argsort(U[u] @ V.T)[:N]` on one CPU. Here:
+single-device path is a fused matmul + `jax.lax.top_k`; the sharded path
+(shard_map over the item axis) computes per-shard scores + per-shard top_k,
+all_gathers the (n_shards * k) candidates, and merges — so the full score
+matrix never materializes and the heavy matmul rides the item shards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def topk_scores(
+    U_rows: jnp.ndarray,          # (B, k) query user factors
+    V: jnp.ndarray,               # (n_items, k) item factors
+    k: int,
+    exclude: Optional[jnp.ndarray] = None,   # (B, E) int32 seen items, -1 = none
+):
+    """Returns (scores (B, k), items (B, k)) of the top-k unseen items."""
+    s = jnp.einsum("bk,nk->bn", U_rows, V, preferred_element_type=jnp.float32)
+    if exclude is not None:
+        b = s.shape[0]
+        rows = jnp.arange(b)[:, None] * jnp.ones_like(exclude)
+        safe = jnp.clip(exclude, 0, V.shape[0] - 1)
+        neg = jnp.where(exclude >= 0, -jnp.inf, 0.0)
+        s = s.at[rows, safe].add(neg)
+    return jax.lax.top_k(s, k)
+
+
+def sharded_topk(
+    U_rows: jnp.ndarray,
+    V: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+    exclude: Optional[jnp.ndarray] = None,
+):
+    """Top-k with V row-sharded over `axis`; queries replicated.
+
+    Per-shard top_k keeps the cross-shard traffic at O(B * k * n_shards)
+    instead of O(B * n_items).
+    """
+    n_shards = mesh.shape[axis]
+    n_items = V.shape[0]
+    per = -(-n_items // n_shards)
+    if per * n_shards != n_items:
+        V = jnp.pad(V, ((0, per * n_shards - n_items), (0, 0)))
+
+    # out values are replicated by construction (identical all_gather+merge on
+    # every shard) but the VMA checker can't infer that: check_vma=False.
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _shard_body(u, v_shard):
+        shard_id = jax.lax.axis_index(axis)
+        base = shard_id * per
+        s = jnp.einsum("bk,nk->bn", u, v_shard,
+                       preferred_element_type=jnp.float32)
+        # mask padded tail rows of the last shard
+        local_ids = jnp.arange(per) + base
+        s = jnp.where(local_ids[None, :] < n_items, s, -jnp.inf)
+        sc, idx = jax.lax.top_k(s, min(k, per))
+        idx = idx + base
+        # all_gather candidates from every shard, merge locally (replicated)
+        sc_all = jax.lax.all_gather(sc, axis, axis=1)      # (B, S, k)
+        idx_all = jax.lax.all_gather(idx, axis, axis=1)
+        b = sc_all.shape[0]
+        sc_flat = sc_all.reshape(b, -1)
+        idx_flat = idx_all.reshape(b, -1)
+        top_sc, pos = jax.lax.top_k(sc_flat, k)
+        top_idx = jnp.take_along_axis(idx_flat, pos, axis=1)
+        return top_sc, top_idx
+
+    if exclude is not None:
+        # apply exclusion by pre-masking scores via a replicated correction:
+        # simplest correct approach — mask after merge would lose candidates,
+        # so fold exclusion into the query-side by post-filtering with a
+        # k + E overfetch.
+        e = exclude.shape[1]
+        sc, idx = _shard_body_overfetch(U_rows, V, k + e, mesh, axis, per, n_items)
+        bad = (idx[:, :, None] == exclude[:, None, :]).any(-1)
+        sc = jnp.where(bad, -jnp.inf, sc)
+        order = jnp.argsort(-sc, axis=1)[:, :k]
+        return (jnp.take_along_axis(sc, order, axis=1),
+                jnp.take_along_axis(idx, order, axis=1))
+    return _shard_body(U_rows, V)
+
+
+def _shard_body_overfetch(U_rows, V, k, mesh, axis, per, n_items):
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _body(u, v_shard):
+        shard_id = jax.lax.axis_index(axis)
+        base = shard_id * per
+        s = jnp.einsum("bk,nk->bn", u, v_shard,
+                       preferred_element_type=jnp.float32)
+        local_ids = jnp.arange(per) + base
+        s = jnp.where(local_ids[None, :] < n_items, s, -jnp.inf)
+        sc, idx = jax.lax.top_k(s, min(k, per))
+        idx = idx + base
+        sc_all = jax.lax.all_gather(sc, axis, axis=1)
+        idx_all = jax.lax.all_gather(idx, axis, axis=1)
+        b = sc_all.shape[0]
+        top_sc, pos = jax.lax.top_k(sc_all.reshape(b, -1), k)
+        top_idx = jnp.take_along_axis(idx_all.reshape(b, -1), pos, axis=1)
+        return top_sc, top_idx
+    return _body(U_rows, V)
+
+
+__all__ = ["topk_scores", "sharded_topk"]

@@ -1,0 +1,218 @@
+"""Sharded ALS sweeps over a device mesh (SURVEY.md N4/N5, §7 PR3).
+
+User and item factor tables are row-sharded along the 1-D ``'data'`` mesh
+axis (``NamedSharding(mesh, P('data', None))``); each shard solves the rows
+it owns. The opposite table is sourced per half-sweep either by
+
+  * ``'allgather'`` — ``jax.lax.all_gather`` the table shards (the ALX-style
+    dense path; right while a table fits per-chip HBM), or
+  * ``'all_to_all'`` — the precomputed request/response embedding exchange
+    (parallel.exchange), two ``lax.all_to_all``s and a compact local table.
+
+The implicit objective's global gramian V^T V is a ``psum`` of per-shard
+gramians (SURVEY.md N7). Everything — both half-sweeps, the exchange, the
+solves — is one jitted ``shard_map`` program per sweep; cross-shard traffic
+rides ICI via XLA collectives (no NCCL analog needed, §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.6-style
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from recommendation_models_tpu.config import SolveConfig
+from recommendation_models_tpu.data.layout import ShardedLayout
+from recommendation_models_tpu.ops.gram import gram_rhs, objective_weights
+from recommendation_models_tpu.ops.solve import add_ridge, solve_spd
+from recommendation_models_tpu.parallel.exchange import ExchangePlan, build_exchange_plan
+from recommendation_models_tpu.utils.compat import match_vma
+
+
+def _exchange_source(V_loc, plan, axis):
+    """Per-shard view of the opposite table: gathered or exchanged."""
+    if plan is None:
+        return jax.lax.all_gather(V_loc, axis, axis=0, tiled=True)
+    req = plan["req_local"][0]                          # (S, Rmax) owner-local ids
+    recv = jax.lax.all_to_all(req, axis, split_axis=0, concat_axis=0, tiled=True)
+    resp = jnp.take(V_loc, recv, axis=0, mode="fill", fill_value=0.0)
+    E = jax.lax.all_to_all(resp, axis, split_axis=0, concat_axis=0, tiled=True)
+    return E.reshape(-1, V_loc.shape[-1])               # (S*Rmax, k)
+
+
+def _half_sweep_local(V_loc, buckets, plan, n_local_rows, cfg: SolveConfig, axis):
+    k = V_loc.shape[-1]
+    V_src = _exchange_source(V_loc, plan, axis)
+    g0 = None
+    if cfg.alpha is not None:
+        g0 = jax.lax.psum(
+            jnp.einsum("nk,nl->kl", V_loc, V_loc,
+                       preferred_element_type=jnp.float32), axis)
+    U_new = jnp.zeros((n_local_rows, k), jnp.float32)
+    for b in buckets:
+        row_ids = b["row_ids"][0]
+        idx = b["indices"][0]
+        values = b["values"][0]
+        mask = b["mask"][0]
+        wg, wr = objective_weights(values, mask, cfg.alpha)
+        G, rhs = gram_rhs(V_src, idx, wg, wr, chunk=cfg.chunk,
+                          compute_dtype=jnp.dtype(cfg.compute_dtype))
+        if g0 is not None:
+            G = G + g0
+        degrees = mask.sum(-1) if cfg.reg_by_degree else None
+        G = add_ridge(G, cfg.reg, degrees)
+        x = solve_spd(G, rhs, cfg.solver)
+        U_new = U_new.at[row_ids].set(x, mode="drop")
+    return U_new
+
+
+def _local_sse(U_loc, V_src, buckets, chunk):
+    total = jnp.zeros((), jnp.float32)
+    for b in buckets:
+        Ug = jnp.take(U_loc, b["row_ids"][0], axis=0, mode="fill", fill_value=0.0)
+        idx, val, msk = b["indices"][0], b["values"][0], b["mask"][0]
+        p = idx.shape[-1]
+        n_chunks = -(-p // chunk)
+        pad = n_chunks * chunk - p
+        if pad:
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
+            val = jnp.pad(val, ((0, 0), (0, pad)))
+            msk = jnp.pad(msk, ((0, 0), (0, pad)))
+        idx_c = idx.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
+        val_c = val.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
+        msk_c = msk.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
+
+        def body(acc, xs):
+            i_c, v_c, m_c = xs
+            Vg = jnp.take(V_src, i_c, axis=0)
+            pred = jnp.einsum("bk,bpk->bp", Ug, Vg,
+                              preferred_element_type=jnp.float32)
+            return acc + jnp.sum(m_c * (v_c - pred) ** 2), None
+
+        init = match_vma(jnp.zeros((), jnp.float32), (U_loc, V_src, idx, val))
+        part, _ = jax.lax.scan(body, init, (idx_c, val_c, msk_c))
+        total = total + part
+    return total
+
+
+class ShardedALSProgram:
+    """Compiled sharded ALS for one (layout, mesh, config) triple."""
+
+    def __init__(
+        self,
+        user_layout: ShardedLayout,
+        item_layout: ShardedLayout,
+        mesh: Mesh,
+        cfg: SolveConfig,
+        exchange: str = "allgather",
+    ):
+        self.mesh = mesh
+        self.cfg = cfg
+        self.axis = mesh.axis_names[0]
+        self.n_shards = mesh.shape[self.axis]
+        assert user_layout.n_shards == self.n_shards
+        self.n_users = user_layout.n_rows
+        self.n_items = item_layout.n_rows
+        self.upr = user_layout.rows_per_shard
+        self.ipr = item_layout.rows_per_shard
+        self.exchange = exchange
+
+        if exchange == "all_to_all":
+            u_plan = build_exchange_plan(user_layout, col_shard_size=self.ipr)
+            i_plan = build_exchange_plan(item_layout, col_shard_size=self.upr)
+        elif exchange == "allgather":
+            u_plan = i_plan = None
+        else:
+            raise ValueError(f"unknown exchange mode {exchange!r}")
+
+        axis = self.axis
+
+        def shard_put(x):
+            spec = P(axis, *([None] * (x.ndim - 1)))
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+        def put_buckets(layout: ShardedLayout, plan: Optional[ExchangePlan]):
+            out = []
+            for i in range(len(layout.pads)):
+                idx = plan.remapped[i] if plan is not None else layout.indices[i]
+                out.append(dict(
+                    row_ids=shard_put(layout.row_ids[i]),
+                    indices=shard_put(idx),
+                    values=shard_put(layout.values[i]),
+                    mask=shard_put(layout.mask[i]),
+                ))
+            return tuple(out)
+
+        self._ub = put_buckets(user_layout, u_plan)
+        self._ib = put_buckets(item_layout, i_plan)
+        self._uplan = (None if u_plan is None
+                       else dict(req_local=shard_put(u_plan.req_local)))
+        self._iplan = (None if i_plan is None
+                       else dict(req_local=shard_put(i_plan.req_local)))
+
+        upr, ipr, chunk = self.upr, self.ipr, cfg.chunk
+
+        def spec_like(x):
+            return P(axis, *([None] * (x.ndim - 1)))
+
+        def specs_of(tree):
+            return jax.tree.map(spec_like, tree)
+
+        table_spec = P(axis, None)
+
+        def sweep_body(U_loc, V_loc, ub, ib, uplan, iplan):
+            U_new = _half_sweep_local(V_loc, ub, uplan, upr, cfg, axis)
+            V_new = _half_sweep_local(U_new, ib, iplan, ipr, cfg, axis)
+            return U_new, V_new
+
+        def sse_body(U_loc, V_loc, ub, uplan):
+            V_src = _exchange_source(V_loc, uplan, axis)
+            return jax.lax.psum(_local_sse(U_loc, V_src, ub, chunk), axis)
+
+        sweep_sm = shard_map(
+            sweep_body, mesh=mesh,
+            in_specs=(table_spec, table_spec,
+                      specs_of(self._ub), specs_of(self._ib),
+                      specs_of(self._uplan), specs_of(self._iplan)),
+            out_specs=(table_spec, table_spec),
+        )
+        sse_sm = shard_map(
+            sse_body, mesh=mesh,
+            in_specs=(table_spec, table_spec,
+                      specs_of(self._ub), specs_of(self._uplan)),
+            out_specs=P(),
+        )
+        self._sweep = jax.jit(sweep_sm, donate_argnums=(0, 1))
+        self._sse = jax.jit(sse_sm)
+
+    # ------------------------------------------------------------------
+    def init_factors(self, seed: int, init_scale: float):
+        """Random init, sharded; rows beyond the true table sizes are zeroed
+        (padded rows must not pollute the implicit global gramian)."""
+        key_u, key_v = jax.random.split(jax.random.PRNGKey(seed))
+        k = self.cfg.rank
+        nup, nip = self.upr * self.n_shards, self.ipr * self.n_shards
+        U = init_scale * jax.random.normal(key_u, (nup, k), jnp.float32)
+        V = init_scale * jax.random.normal(key_v, (nip, k), jnp.float32)
+        U = jnp.where(jnp.arange(nup)[:, None] < self.n_users, U, 0.0)
+        V = jnp.where(jnp.arange(nip)[:, None] < self.n_items, V, 0.0)
+        sharding = NamedSharding(self.mesh, P(self.axis, None))
+        return jax.device_put(U, sharding), jax.device_put(V, sharding)
+
+    def sweep(self, U, V):
+        return self._sweep(U, V, self._ub, self._ib, self._uplan, self._iplan)
+
+    def train_sse(self, U, V):
+        return self._sse(U, V, self._ub, self._uplan)
+
+
+__all__ = ["ShardedALSProgram"]

@@ -1,0 +1,86 @@
+"""sklearn API conformance (SURVEY.md §4.1: get_params/set_params round-trip,
+clone-ability, predict shapes, scoring, top-n)."""
+
+import numpy as np
+import pytest
+
+from recommendation_models_tpu import ALS, IMC
+from tests.conftest import tiny_problem
+
+
+def test_get_set_params_roundtrip():
+    m = ALS(rank=7, reg=0.2, alpha=1.5)
+    p = m.get_params()
+    assert p["rank"] == 7 and p["reg"] == 0.2 and p["alpha"] == 1.5
+    m.set_params(rank=9)
+    assert m.rank == 9
+    with pytest.raises(ValueError):
+        m.set_params(bogus=1)
+
+
+def test_sklearn_clone():
+    from sklearn.base import clone
+    m = clone(ALS(rank=5, reg=0.7))
+    assert m.rank == 5 and m.reg == 0.7
+    m2 = clone(IMC(rank=3, reg=0.01))
+    assert m2.rank == 3
+
+
+def test_unfitted_raises():
+    with pytest.raises(RuntimeError):
+        ALS().predict([0], [0])
+    with pytest.raises(RuntimeError):
+        IMC().predict([0], [0])
+
+
+def test_predict_pairs_and_separate_args():
+    R = tiny_problem(20, 15, seed=20)
+    m = ALS(rank=4, n_sweeps=2).fit(R)
+    pairs = np.array([[0, 1], [3, 2], [19, 14]])
+    a = m.predict(pairs)
+    b = m.predict(pairs[:, 0], pairs[:, 1])
+    np.testing.assert_allclose(a, b)
+    assert a.shape == (3,)
+    np.testing.assert_allclose(
+        a, np.einsum("ok,ok->o", m.U_[pairs[:, 0]], m.V_[pairs[:, 1]]),
+        rtol=1e-6)
+
+
+def test_score_is_negative_rmse():
+    R = tiny_problem(20, 15, seed=21)
+    m = ALS(rank=4, n_sweeps=3).fit(R)
+    assert m.score(R) == -m.rmse(R)
+    assert m.score(R) <= 0
+
+
+def test_recommend_excludes_seen():
+    R = tiny_problem(25, 30, density=0.4, seed=22)
+    m = ALS(rank=4, n_sweeps=3).fit(R)
+    scores, items = m.recommend([0, 5], n=5)
+    assert items.shape == (2, 5)
+    seen0 = set(R.indices[R.indptr[0]:R.indptr[1]].tolist())
+    assert not (set(items[0].tolist()) & seen0)
+    # not excluding seen returns the raw argmax ranking
+    scores2, items2 = m.recommend([0], n=5, exclude_seen=False)
+    full = m.predict_all(0)
+    np.testing.assert_array_equal(items2[0], np.argsort(-full)[:5])
+
+
+def test_top_n_matches_recommend():
+    R = tiny_problem(10, 12, seed=23)
+    m = ALS(rank=3, n_sweeps=2).fit(R)
+    np.testing.assert_array_equal(m.top_n(3, n=4), m.recommend([3], 4)[1][0])
+
+
+def test_gridsearch_compatible():
+    """Composability with GridSearchCV-style cloning + scoring."""
+    from sklearn.base import clone
+    R = tiny_problem(30, 20, seed=24)
+    best, best_score = None, -np.inf
+    base = ALS(rank=4, n_sweeps=2)
+    for reg in [0.01, 0.1, 1.0]:
+        m = clone(base).set_params(reg=reg).fit(R)
+        s = m.score(R)
+        if s > best_score:
+            best, best_score = reg, s
+    assert best is not None

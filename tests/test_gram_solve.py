@@ -1,0 +1,93 @@
+"""Gram accumulation + batched SPD solve vs dense NumPy (SURVEY.md §4.2-3/4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from recommendation_models_tpu.ops.gram import gram_rhs, objective_weights
+from recommendation_models_tpu.ops.solve import add_ridge, solve_spd
+
+
+def _random_case(rng, b=6, p=20, n=30, k=5):
+    V = rng.standard_normal((n, k)).astype(np.float32)
+    idx = rng.integers(0, n, size=(b, p)).astype(np.int32)
+    wg = (rng.random((b, p)) < 0.7).astype(np.float32)
+    wr = wg * rng.uniform(1, 5, size=(b, p)).astype(np.float32)
+    return V, idx, wg, wr
+
+
+def _dense_gram(V, idx, wg, wr):
+    b, p = idx.shape
+    k = V.shape[1]
+    G = np.zeros((b, k, k))
+    rhs = np.zeros((b, k))
+    for i in range(b):
+        for j in range(p):
+            v = V[idx[i, j]]
+            G[i] += wg[i, j] * np.outer(v, v)
+            rhs[i] += wr[i, j] * v
+    return G, rhs
+
+
+def test_gram_rhs_matches_dense(rng):
+    V, idx, wg, wr = _random_case(rng)
+    G, rhs = gram_rhs(jnp.asarray(V), jnp.asarray(idx), jnp.asarray(wg),
+                      jnp.asarray(wr))
+    Gd, rd = _dense_gram(V, idx, wg, wr)
+    np.testing.assert_allclose(np.asarray(G), Gd, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rhs), rd, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_equals_unchunked(rng):
+    V, idx, wg, wr = _random_case(rng, b=4, p=50)
+    full = gram_rhs(jnp.asarray(V), jnp.asarray(idx), jnp.asarray(wg),
+                    jnp.asarray(wr), chunk=64)
+    chunked = gram_rhs(jnp.asarray(V), jnp.asarray(idx), jnp.asarray(wg),
+                       jnp.asarray(wr), chunk=16)  # 50 -> 4 chunks w/ padding
+    np.testing.assert_allclose(np.asarray(full[0]), np.asarray(chunked[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(full[1]), np.asarray(chunked[1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_padding_contributes_exactly_zero(rng):
+    """Property (SURVEY.md §4.2-4): mask-0 slots change nothing."""
+    V, idx, wg, wr = _random_case(rng, b=3, p=10)
+    idx2 = np.concatenate([idx, rng.integers(0, V.shape[0], (3, 6)).astype(np.int32)], 1)
+    wg2 = np.concatenate([wg, np.zeros((3, 6), np.float32)], 1)
+    wr2 = np.concatenate([wr, np.zeros((3, 6), np.float32)], 1)
+    a = gram_rhs(jnp.asarray(V), jnp.asarray(idx), jnp.asarray(wg), jnp.asarray(wr))
+    b = gram_rhs(jnp.asarray(V), jnp.asarray(idx2), jnp.asarray(wg2), jnp.asarray(wr2))
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-6)
+
+
+@pytest.mark.parametrize("solver", ["xla", "lu"])
+def test_solve_spd_matches_numpy(rng, solver):
+    b, k = 8, 6
+    A = rng.standard_normal((b, k, k))
+    G = np.einsum("bij,bkj->bik", A, A) + 0.5 * np.eye(k)
+    rhs = rng.standard_normal((b, k))
+    x = solve_spd(jnp.asarray(G, jnp.float32), jnp.asarray(rhs, jnp.float32),
+                  solver=solver)
+    expected = np.linalg.solve(G, rhs[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-3, atol=1e-3)
+
+
+def test_add_ridge_by_degree():
+    G = jnp.zeros((2, 3, 3))
+    deg = jnp.asarray([2.0, 5.0])
+    out = np.asarray(add_ridge(G, 0.1, deg))
+    np.testing.assert_allclose(out[0], 0.2 * np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(out[1], 0.5 * np.eye(3), atol=1e-6)
+
+
+def test_objective_weights_explicit_vs_implicit():
+    vals = jnp.asarray([[1.0, 4.0, 0.0]])
+    mask = jnp.asarray([[1.0, 1.0, 0.0]])
+    wg, wr = objective_weights(vals, mask, None)
+    np.testing.assert_allclose(np.asarray(wg), [[1, 1, 0]])
+    np.testing.assert_allclose(np.asarray(wr), [[1, 4, 0]])
+    wg, wr = objective_weights(vals, mask, 2.0)
+    np.testing.assert_allclose(np.asarray(wg), [[2, 8, 0]])   # alpha*r
+    np.testing.assert_allclose(np.asarray(wr), [[3, 9, 0]])   # 1+alpha*r

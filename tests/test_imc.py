@@ -1,0 +1,85 @@
+"""IMC estimator tests (SURVEY.md §4.2; BASELINE.json config 4)."""
+
+import numpy as np
+import pytest
+
+from recommendation_models_tpu import IMC
+from recommendation_models_tpu.data.synthetic import (
+    synthetic_imc_ratings, synthetic_side_features,
+)
+from recommendation_models_tpu.oracle.imc_numpy import OracleIMC
+
+
+@pytest.fixture(scope="module")
+def imc_problem():
+    X, Y = synthetic_side_features(60, 50, d_user=12, d_item=10, seed=1)
+    users, items, r, W, H = synthetic_imc_ratings(X, Y, n_obs=900, rank=4,
+                                                  noise=0.02, seed=2)
+    return X, Y, users, items, r
+
+
+def test_objective_decreases(imc_problem):
+    X, Y, users, items, r = imc_problem
+    m = IMC(rank=4, reg=0.05, n_sweeps=5, cg_iters=30).fit(
+        (users, items, r), X, Y)
+    h = m.history_
+    assert all(h[i + 1] <= h[i] + 1e-3 for i in range(len(h) - 1))
+    assert m.rmse((users, items, r)) < 0.2
+
+
+def test_oracle_parity(imc_problem):
+    """Same init + same algorithm => matching trajectories (SURVEY.md §3.3:
+    parity is objective-level)."""
+    X, Y, users, items, r = imc_problem
+    rng = np.random.default_rng(3)
+    W0 = 0.1 * rng.standard_normal((X.shape[1], 4))
+    H0 = 0.1 * rng.standard_normal((Y.shape[1], 4))
+
+    m = IMC(rank=4, reg=0.1, n_sweeps=3, cg_iters=25).fit(
+        (users, items, r), X, Y, W0=W0, H0=H0)
+    o = OracleIMC(rank=4, reg=0.1, n_sweeps=3, cg_iters=25).fit(
+        users, items, r, X, Y, W0=W0, H0=H0)
+
+    pred_m = m.predict(users[:50], items[:50])
+    pred_o = o.predict(users[:50], items[:50], np.asarray(X, np.float64),
+                       np.asarray(Y, np.float64))
+    np.testing.assert_allclose(pred_m, pred_o, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(m.history_, o.history_, rtol=2e-2)
+
+
+def test_cold_start_generalization(imc_problem):
+    """Inductive property: predicts for users never seen in training, via
+    side features (reference §2.1 row 7 'handles cold-start')."""
+    X, Y, users, items, r = imc_problem
+    train = users < 50  # hold out users 50..59 entirely
+    m = IMC(rank=4, reg=0.05, n_sweeps=6, cg_iters=30).fit(
+        (users[train], items[train], r[train]), X, Y)
+    cold = ~train
+    if cold.sum() == 0:
+        pytest.skip("no cold users sampled")
+    rmse_cold = m.rmse((users[cold], items[cold], r[cold]))
+    # far better than predicting the mean (std of r ~ signal scale)
+    assert rmse_cold < np.std(r) * 0.7
+
+
+def test_sharded_imc_matches_single(imc_problem, cpu_mesh):
+    X, Y, users, items, r = imc_problem
+    rng = np.random.default_rng(4)
+    W0 = 0.1 * rng.standard_normal((X.shape[1], 4))
+    H0 = 0.1 * rng.standard_normal((Y.shape[1], 4))
+    m1 = IMC(rank=4, reg=0.1, n_sweeps=2, cg_iters=20).fit(
+        (users, items, r), X, Y, W0=W0, H0=H0)
+    m8 = IMC(rank=4, reg=0.1, n_sweeps=2, cg_iters=20, n_shards=8,
+             platform="cpu").fit((users, items, r), X, Y, W0=W0, H0=H0)
+    np.testing.assert_allclose(m8.W_, m1.W_, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(m8.H_, m1.H_, rtol=5e-3, atol=5e-3)
+
+
+def test_imc_accepts_sparse_matrix(imc_problem):
+    import scipy.sparse as sp
+    X, Y, users, items, r = imc_problem
+    R = sp.csr_matrix((r, (users, items)), shape=(X.shape[0], Y.shape[0]))
+    m = IMC(rank=4, n_sweeps=2, cg_iters=10).fit(R, X, Y)
+    assert np.isfinite(m.history_).all()
+    s, items_rec = m.recommend([0, 1], n=5)
+    assert items_rec.shape == (2, 5)

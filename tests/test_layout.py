@@ -1,0 +1,103 @@
+"""Padded segment-gather layout tests (SURVEY.md N1)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from recommendation_models_tpu.config import DataConfig
+from recommendation_models_tpu.data.layout import (
+    build_layout, csr_arrays, layout_from_coo, shard_layout,
+)
+from tests.conftest import tiny_problem
+
+
+def _reconstruct(layout):
+    """Rebuild the dense matrix from a PaddedLayout."""
+    R = np.zeros((layout.n_rows, layout.n_cols), np.float32)
+    for b in layout.buckets:
+        for rid, idx, val, msk in zip(b.row_ids, b.indices, b.values, b.mask):
+            if rid >= layout.n_rows:
+                assert msk.sum() == 0
+                continue
+            real = msk > 0
+            R[rid, idx[real]] += val[real]
+    return R
+
+
+def test_roundtrip_dense():
+    R = tiny_problem(30, 20, density=0.3, seed=1)
+    layout = build_layout(R.indptr, R.indices, R.data, *R.shape)
+    np.testing.assert_allclose(_reconstruct(layout), R.toarray(), rtol=1e-6)
+    assert layout.nnz == R.nnz
+
+
+def test_bucket_shapes_are_padded_pow2():
+    R = tiny_problem(64, 200, density=0.1, seed=2)
+    cfg = DataConfig(min_bucket=8, max_bucket=64)
+    layout = build_layout(R.indptr, R.indices, R.data, *R.shape, config=cfg)
+    for b in layout.buckets:
+        assert b.pad >= 8
+        if b.pad <= 64:
+            assert b.pad & (b.pad - 1) == 0  # power of two
+        else:
+            assert b.pad % 64 == 0
+        assert b.n_rows % 8 == 0
+        # each row's degree fits its bucket
+        degs = b.mask.sum(1)
+        assert (degs <= b.pad).all()
+
+
+def test_whale_rows_use_max_bucket_multiples():
+    # one row with degree 300, max_bucket 64 -> pad 320
+    rows = np.zeros(300, np.int64)
+    cols = np.arange(300)
+    vals = np.ones(300, np.float32)
+    cfg = DataConfig(max_bucket=64)
+    layout = layout_from_coo(rows, cols, vals, 1, 300, config=cfg)
+    assert layout.buckets[0].pad == 320
+
+
+def test_empty_rows_kept():
+    R = np.zeros((5, 4), np.float32)
+    R[0, 1] = 2.0
+    indptr, indices, data, nr, nc = csr_arrays(R)
+    layout = build_layout(indptr, indices, data, nr, nc)
+    seen = np.concatenate([b.row_ids[b.row_ids < nr] for b in layout.buckets])
+    assert set(seen.tolist()) == set(range(5))
+
+
+def test_csr_arrays_accepts_sparse_and_dense():
+    R = tiny_problem(10, 8, seed=3)
+    a = csr_arrays(R)
+    b = csr_arrays(R.toarray())
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_allclose(a[2], b[2])
+
+
+def test_shard_layout_partition():
+    R = tiny_problem(50, 40, seed=4)
+    layout = build_layout(R.indptr, R.indices, R.data, *R.shape)
+    sl = shard_layout(layout, 4)
+    assert sl.rows_per_shard == 13  # ceil(50/4)
+    dense = np.zeros(R.shape, np.float32)
+    for bi in range(len(sl.pads)):
+        for s in range(4):
+            for rid, idx, val, msk in zip(sl.row_ids[bi][s], sl.indices[bi][s],
+                                          sl.values[bi][s], sl.mask[bi][s]):
+                if rid >= sl.rows_per_shard:
+                    assert msk.sum() == 0
+                    continue
+                g = s * sl.rows_per_shard + rid
+                real = msk > 0
+                dense[g, idx[real]] += val[real]
+    np.testing.assert_allclose(dense, R.toarray(), rtol=1e-6)
+    # identical shapes across shards by construction
+    for bi in range(len(sl.pads)):
+        assert sl.indices[bi].shape[0] == 4
+
+
+def test_padding_waste_reported():
+    R = tiny_problem(100, 500, density=0.05, seed=5)
+    layout = build_layout(R.indptr, R.indices, R.data, *R.shape)
+    assert 0.0 <= layout.padding_waste() < 1.0

@@ -1,0 +1,77 @@
+"""MovieLens parser tests over all three on-disk formats (SURVEY.md N12),
+exercising the native C++ scanner when it builds and the NumPy fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+from recommendation_models_tpu.data import movielens
+from recommendation_models_tpu.data import native
+
+ROWS = [(1, 10, 4.0), (1, 20, 3.5), (2, 10, 5.0), (3, 30, 1.0)]
+
+
+def _write(tmp_path, name, sep, header=None):
+    p = tmp_path / name
+    lines = [] if header is None else [header]
+    lines += [sep.join(str(x) for x in (u, i, r)) + sep + "881250949"
+              for u, i, r in ROWS]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def _check(out):
+    assert out["n_users"] == 3 and out["n_items"] == 3
+    np.testing.assert_array_equal(out["user_vocab"], [1, 2, 3])
+    np.testing.assert_array_equal(out["item_vocab"], [10, 20, 30])
+    np.testing.assert_allclose(out["ratings"], [4.0, 3.5, 5.0, 1.0])
+    # dense remap: first row is user 1 -> 0, item 10 -> 0
+    assert out["users"][0] == 0 and out["items"][0] == 0
+
+
+def test_ml100k_format(tmp_path):
+    path = _write(tmp_path, "u.data", "\t")
+    _check(movielens.load_ratings_file(path, cache=False))
+
+
+def test_ml1m_format(tmp_path):
+    path = _write(tmp_path, "ratings.dat", "::")
+    _check(movielens.load_ratings_file(path, cache=False))
+
+
+def test_ml25m_format(tmp_path):
+    path = _write(tmp_path, "ratings.csv", ",",
+                  header="userId,movieId,rating,timestamp")
+    _check(movielens.load_ratings_file(path, cache=False))
+
+
+def test_cache_roundtrip(tmp_path):
+    path = _write(tmp_path, "ratings.csv", ",",
+                  header="userId,movieId,rating,timestamp")
+    a = movielens.load_ratings_file(path, cache=True)
+    assert os.path.exists(path + ".rmtpu.npz")
+    b = movielens.load_ratings_file(path, cache=True)  # served from cache
+    np.testing.assert_array_equal(a["users"], b["users"])
+    np.testing.assert_allclose(a["ratings"], b["ratings"])
+
+
+def test_native_parser_if_available(tmp_path):
+    path = _write(tmp_path, "ratings.csv", ",",
+                  header="userId,movieId,rating,timestamp")
+    arr = native.parse_ratings(path, ",", True)
+    if arr is None:
+        pytest.skip("native parser unavailable (no g++?)")
+    assert arr.shape == (4, 3)
+    np.testing.assert_allclose(arr[:, 2], [4.0, 3.5, 5.0, 1.0])
+    # fallback agreement
+    arr2 = movielens._load_delimited(path, ",", True)
+    np.testing.assert_allclose(arr, arr2[:, :3] if arr2.shape[1] > 3 else arr2)
+
+
+def test_to_csr(tmp_path):
+    path = _write(tmp_path, "u.data", "\t")
+    out = movielens.load_ratings_file(path, cache=False)
+    R = movielens.to_csr(out["users"], out["items"], out["ratings"],
+                         out["n_users"], out["n_items"])
+    assert R.shape == (3, 3) and R.nnz == 4

@@ -1,0 +1,50 @@
+"""Multi-device sharding tests on the 8-device CPU mesh (SURVEY.md §4.2-2).
+
+Shard-count invariance: the 1-device result equals the 8-device result for
+both exchange modes and both objectives.
+"""
+
+import numpy as np
+import pytest
+
+from recommendation_models_tpu.models.als import ALS
+from tests.conftest import tiny_problem
+
+
+def _init(n_users, n_items, rank, seed=0):
+    rng = np.random.default_rng(seed)
+    return (0.1 * rng.standard_normal((n_users, rank)).astype(np.float32),
+            0.1 * rng.standard_normal((n_items, rank)).astype(np.float32))
+
+
+@pytest.mark.parametrize("exchange", ["allgather", "all_to_all"])
+@pytest.mark.parametrize("alpha", [None, 0.5])
+def test_shard_count_invariance(exchange, alpha, cpu_mesh):
+    R = tiny_problem(50, 40, density=0.25, seed=30)
+    U0, V0 = _init(*R.shape, rank=6, seed=6)
+
+    ref = ALS(rank=6, reg=0.3, alpha=alpha, n_sweeps=3).fit(R, U0=U0, V0=V0)
+    shd = ALS(rank=6, reg=0.3, alpha=alpha, n_sweeps=3,
+              n_shards=8, exchange=exchange, platform="cpu").fit(
+                  R, U0=U0, V0=V0)
+
+    np.testing.assert_allclose(shd.U_, ref.U_, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(shd.V_, ref.V_, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(shd.history_, ref.history_, rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_uneven_rows(cpu_mesh):
+    # n_users=13, n_items=9 not divisible by 8 shards: padding path
+    R = tiny_problem(13, 9, density=0.5, seed=31)
+    U0, V0 = _init(13, 9, rank=4, seed=7)
+    ref = ALS(rank=4, reg=0.2, n_sweeps=2).fit(R, U0=U0, V0=V0)
+    shd = ALS(rank=4, reg=0.2, n_sweeps=2, n_shards=8,
+              platform="cpu").fit(R, U0=U0, V0=V0)
+    np.testing.assert_allclose(shd.U_, ref.U_, rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_random_init_runs(cpu_mesh):
+    R = tiny_problem(40, 30, seed=32)
+    m = ALS(rank=5, n_sweeps=2, n_shards=4, platform="cpu").fit(R)
+    assert m.U_.shape == (40, 5)
+    assert np.isfinite(m.history_).all()
