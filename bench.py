@@ -38,7 +38,7 @@ def main() -> None:
     scale = os.environ.get("BENCH_SCALE", "ml25m")
     rank = int(os.environ.get("BENCH_RANK", "64"))
     n_sweeps = int(os.environ.get("BENCH_SWEEPS", "3"))
-    solver = os.environ.get("BENCH_SOLVER", "xla")
+    solver = os.environ.get("BENCH_SOLVER", "auto")
     compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
     n_users, n_items, n_obs = SCALES[scale]
 
@@ -49,7 +49,7 @@ def main() -> None:
     from recommendation_models_tpu.data.synthetic import synthetic_ratings
     from recommendation_models_tpu.oracle.als_numpy import OracleALS
     from recommendation_models_tpu.solver.als_sweep import (
-        device_buckets, make_sweep_fns,
+        device_buckets, make_scanned_fit,
     )
 
     t0 = time.perf_counter()
@@ -68,23 +68,29 @@ def main() -> None:
                       compute_dtype=compute_dtype)
     ub = device_buckets(user_layout)
     ib = device_buckets(item_layout)
-    sweep, train_sse = make_sweep_fns(ub, ib, n_users, n_items, cfg)
+    # The whole timed region is ONE device program (lax.scan over sweeps,
+    # carry-dependent so nothing hoists) ended by a host readback of a value
+    # that depends on every sweep. On remote-attached TPUs (axon tunnel),
+    # per-dispatch timing + block_until_ready is NOT reliable — a dependent
+    # device->host transfer is the only honest fence.
+    fit_fn = make_scanned_fit(ub, ib, n_users, n_items, cfg, n_sweeps)
 
     rng = np.random.default_rng(0)
-    U = jnp.asarray(0.01 * rng.standard_normal((n_users, rank)), jnp.float32)
-    V = jnp.asarray(0.01 * rng.standard_normal((n_items, rank)), jnp.float32)
+    U0 = 0.01 * rng.standard_normal((n_users, rank)).astype(np.float32)
+    V0 = 0.01 * rng.standard_normal((n_items, rank)).astype(np.float32)
 
-    # warmup/compile
-    U, V = sweep(U, V)
-    jax.block_until_ready((U, V))
+    # warmup/compile (donated args => fresh copies per call)
+    _, _, sse = fit_fn(jnp.asarray(U0), jnp.asarray(V0))
+    _ = np.asarray(sse)
+    U = jnp.asarray(U0)
+    V = jnp.asarray(V0)
     t1 = time.perf_counter()
-    for _ in range(n_sweeps):
-        U, V = sweep(U, V)
-    jax.block_until_ready((U, V))
+    U, V, sse = fit_fn(U, V)
+    sse_host = np.asarray(sse)  # dependent readback = the timing fence
     elapsed = time.perf_counter() - t1
     rows_per_sweep = n_users + n_items
     rows_per_sec = rows_per_sweep * n_sweeps / elapsed
-    rmse = float(jnp.sqrt(train_sse(U, V) / nnz))
+    rmse = float(np.sqrt(sse_host[-1] / nnz))
     epoch_s = elapsed / n_sweeps
     print(f"# tpu: {epoch_s:.3f}s/epoch, rmse={rmse:.4f}, "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)

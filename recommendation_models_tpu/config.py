@@ -25,9 +25,10 @@ class SolveConfig:
     # Gather/gram chunk along the padded-degree axis; bounds VMEM/HBM use for
     # whale rows (SURVEY.md §5 "long-context" analog: chunked gram accumulation).
     chunk: int = 512
-    # 'xla' = jnp.linalg.cholesky + cho_solve; 'pallas' = fused Pallas kernel;
-    # 'qr' = lstsq-style fallback for ill-conditioned tests.
-    solver: str = "xla"
+    # 'auto' = pallas on TPU / xla elsewhere; 'xla' = jnp.linalg.cholesky +
+    # triangular solves (correctness anchor); 'pallas' = fused Pallas kernel;
+    # 'lu' = jnp.linalg.solve fallback for ill-conditioned tests.
+    solver: str = "auto"
     # dtype for the gram/matmul compute path (factors are always float32).
     compute_dtype: str = "float32"
 

@@ -47,7 +47,7 @@ class ALS(BaseEstimator):
         n_sweeps: int = 10,
         tol: float = 0.0,
         reg_by_degree: bool = False,
-        solver: str = "xla",
+        solver: str = "auto",
         chunk: int = 512,
         compute_dtype: str = "float32",
         n_shards: Optional[int] = None,
@@ -127,7 +127,6 @@ class ALS(BaseEstimator):
                                       dcfg, transpose=True)
         ub = device_buckets(user_layout)
         ib = device_buckets(item_layout)
-        sweep, train_sse = make_sweep_fns(ub, ib, n_users, n_items, scfg)
 
         if U0 is not None and V0 is not None:
             U = jnp.asarray(U0, jnp.float32)
@@ -135,18 +134,31 @@ class ALS(BaseEstimator):
         else:
             U, V = self._init_factors_host(n_users, n_items)
 
-        self.history_ = []
-        prev = None
-        for s in range(self.n_sweeps):
-            U, V = sweep(U, V)
-            cur = float(jnp.sqrt(train_sse(U, V) / max(nnz, 1)))
-            self.history_.append(cur)
-            if self.verbose:
-                print(f"[ALS] sweep {s + 1}: train_rmse={cur:.6f}")
-            self._maybe_checkpoint(s, U, V)
-            if self.tol > 0 and prev is not None and abs(prev - cur) < self.tol:
-                break
-            prev = cur
+        stepwise = (self.tol > 0
+                    or (self.checkpoint_dir and self.checkpoint_every)
+                    or self.verbose)
+        if not stepwise:
+            # Whole fit is ONE device program (lax.scan over sweeps) — no
+            # per-sweep host round trips (§3.1 loop, device-resident).
+            from recommendation_models_tpu.solver.als_sweep import make_scanned_fit
+            fit_fn = make_scanned_fit(ub, ib, n_users, n_items, scfg,
+                                      self.n_sweeps)
+            U, V, sse = fit_fn(U, V)
+            self.history_ = list(np.sqrt(np.asarray(sse) / max(nnz, 1)))
+        else:
+            sweep, train_sse = make_sweep_fns(ub, ib, n_users, n_items, scfg)
+            self.history_ = []
+            prev = None
+            for s in range(self.n_sweeps):
+                U, V = sweep(U, V)
+                cur = float(jnp.sqrt(train_sse(U, V) / max(nnz, 1)))
+                self.history_.append(cur)
+                if self.verbose:
+                    print(f"[ALS] sweep {s + 1}: train_rmse={cur:.6f}")
+                self._maybe_checkpoint(s, U, V)
+                if self.tol > 0 and prev is not None and abs(prev - cur) < self.tol:
+                    break
+                prev = cur
 
         self.U_ = np.asarray(U)
         self.V_ = np.asarray(V)

@@ -50,6 +50,8 @@ def _exchange_source(V_loc, plan, axis):
 
 
 def _half_sweep_local(V_loc, buckets, plan, n_local_rows, cfg: SolveConfig, axis):
+    from recommendation_models_tpu.solver.als_sweep import solve_all_buckets
+
     k = V_loc.shape[-1]
     V_src = _exchange_source(V_loc, plan, axis)
     g0 = None
@@ -57,22 +59,14 @@ def _half_sweep_local(V_loc, buckets, plan, n_local_rows, cfg: SolveConfig, axis
         g0 = jax.lax.psum(
             jnp.einsum("nk,nl->kl", V_loc, V_loc,
                        preferred_element_type=jnp.float32), axis)
-    U_new = jnp.zeros((n_local_rows, k), jnp.float32)
-    for b in buckets:
-        row_ids = b["row_ids"][0]
-        idx = b["indices"][0]
-        values = b["values"][0]
-        mask = b["mask"][0]
-        wg, wr = objective_weights(values, mask, cfg.alpha)
-        G, rhs = gram_rhs(V_src, idx, wg, wr, chunk=cfg.chunk,
-                          compute_dtype=jnp.dtype(cfg.compute_dtype))
-        if g0 is not None:
-            G = G + g0
-        degrees = mask.sum(-1) if cfg.reg_by_degree else None
-        G = add_ridge(G, cfg.reg, degrees)
-        x = solve_spd(G, rhs, cfg.solver)
-        U_new = U_new.at[row_ids].set(x, mode="drop")
-    return U_new
+    local = tuple(
+        dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
+             values=b["values"][0], mask=b["mask"][0])
+        for b in buckets)
+    # one concatenated batched-Cholesky call per shard per half-sweep
+    x_all, rid_all, _ = solve_all_buckets(V_src, local, cfg, g0)
+    return jnp.zeros((n_local_rows, k), jnp.float32
+                     ).at[rid_all].set(x_all, mode="drop")
 
 
 def _local_sse(U_loc, V_src, buckets, chunk):
@@ -116,6 +110,14 @@ class ShardedALSProgram:
         exchange: str = "allgather",
     ):
         self.mesh = mesh
+        # Resolve 'auto' against the MESH's platform (not the process default
+        # backend): a CPU test/dry-run mesh under an attached TPU must take
+        # the XLA anchor path, a TPU mesh the Pallas kernel.
+        mesh_platform = mesh.devices.flat[0].platform
+        if cfg.solver == "auto":
+            import dataclasses as _dc
+            cfg = _dc.replace(
+                cfg, solver="pallas" if mesh_platform == "tpu" else "xla")
         self.cfg = cfg
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.shape[self.axis]

@@ -45,16 +45,50 @@ def device_buckets(layout: PaddedLayout) -> DeviceBuckets:
     )
 
 
-def _solve_bucket(V, bucket, cfg: SolveConfig, g0):
-    wg, wr = objective_weights(bucket["values"], bucket["mask"], cfg.alpha)
-    G, rhs = gram_rhs(V, bucket["indices"], wg, wr,
-                      chunk=cfg.chunk,
-                      compute_dtype=jnp.dtype(cfg.compute_dtype))
-    if g0 is not None:
-        G = G + g0
-    degrees = bucket["mask"].sum(-1) if cfg.reg_by_degree else None
-    G = add_ridge(G, cfg.reg, degrees)
-    return solve_spd(G, rhs, cfg.solver)
+def solve_all_buckets(V, buckets, cfg: SolveConfig, g0, with_sse=False):
+    """Gram-accumulate every bucket, then solve ALL rows in ONE batched
+    Cholesky call.
+
+    Per-bucket shapes differ (degree buckets), but the (B, k, k) normal
+    equations all share k — concatenating along the batch before the solve
+    means a single Pallas kernel shape per half-sweep (one Mosaic compile,
+    one launch) instead of one per bucket. Returns (x_all, row_ids_all[,
+    sse]); ``row_ids_all`` carries each bucket's scatter targets in the same
+    order.
+    """
+    Gs, rhss, rids, degs = [], [], [], []
+    r2 = jnp.zeros((), jnp.float32)
+    for bucket in buckets:
+        wg, wr = objective_weights(bucket["values"], bucket["mask"], cfg.alpha)
+        G, rhs = gram_rhs(V, bucket["indices"], wg, wr,
+                          chunk=cfg.chunk,
+                          compute_dtype=jnp.dtype(cfg.compute_dtype))
+        if g0 is not None:
+            G = G + g0
+        Gs.append(G)
+        rhss.append(rhs)
+        rids.append(bucket["row_ids"])
+        if cfg.reg_by_degree:
+            degs.append(bucket["mask"].sum(-1))
+        if with_sse:
+            r2 = r2 + jnp.sum(bucket["mask"] * bucket["values"] ** 2)
+    G_all = jnp.concatenate(Gs, axis=0) if len(Gs) > 1 else Gs[0]
+    rhs_all = jnp.concatenate(rhss, axis=0) if len(rhss) > 1 else rhss[0]
+    rid_all = jnp.concatenate(rids, axis=0) if len(rids) > 1 else rids[0]
+    degrees = (jnp.concatenate(degs, axis=0) if len(degs) > 1 else degs[0]) \
+        if cfg.reg_by_degree else None
+    x_all = solve_spd(add_ridge(G_all, cfg.reg, degrees), rhs_all, cfg.solver)
+    if not with_sse:
+        return x_all, rid_all, None
+    # Explicit-objective residual, free from the solve's own quantities:
+    # sse_row = sum w r^2 - 2 x.rhs + x^T (G - ridge) x. Summed over the
+    # *item* half-sweep's rows this equals masked_sse(U_new, V_new) (tested)
+    # — replaces a whole extra gather/einsum eval pass.
+    gx = jnp.einsum("bkl,bl->bk", G_all, x_all,
+                    preferred_element_type=jnp.float32)
+    sse = r2 + jnp.einsum("bk,bk->", x_all, gx - 2.0 * rhs_all,
+                          preferred_element_type=jnp.float32)
+    return x_all, rid_all, sse
 
 
 def half_sweep(
@@ -62,22 +96,25 @@ def half_sweep(
     buckets: DeviceBuckets,
     n_rows: int,
     cfg: SolveConfig,
-) -> jnp.ndarray:
+    with_sse: bool = False,
+):
     """Solve every row of this orientation given the opposite table V.
 
-    Returns the new (n_rows, k) factor table. Rows with zero observations
-    solve to exactly zero (explicit) or the pure-G0 ridge solution (implicit
-    with zero rhs => zero as well).
+    Returns the new (n_rows, k) factor table (plus, with ``with_sse`` on the
+    explicit objective, the total residual SSE at the post-solve state).
+    Rows with zero observations solve to exactly zero (explicit) or the
+    pure-G0 ridge solution (implicit with zero rhs => zero as well).
     """
     k = V.shape[-1]
     g0 = None
     if cfg.alpha is not None:
         g0 = jnp.einsum("nk,nl->kl", V, V,
                         preferred_element_type=jnp.float32)
-    U = jnp.zeros((n_rows, k), jnp.float32)
-    for bucket in buckets:
-        x = _solve_bucket(V, bucket, cfg, g0)
-        U = U.at[bucket["row_ids"]].set(x, mode="drop")
+    x_all, rid_all, sse = solve_all_buckets(V, buckets, cfg, g0,
+                                            with_sse=with_sse)
+    U = jnp.zeros((n_rows, k), jnp.float32).at[rid_all].set(x_all, mode="drop")
+    if with_sse:
+        return U, sse
     return U
 
 
@@ -162,5 +199,46 @@ def make_sweep_fns(
     return sweep, train_sse
 
 
+def make_scanned_fit(
+    user_buckets: DeviceBuckets,
+    item_buckets: DeviceBuckets,
+    n_users: int,
+    n_items: int,
+    cfg: SolveConfig,
+    n_sweeps: int,
+):
+    """One jitted program for the ENTIRE fit: ``lax.scan`` over sweeps.
+
+    Returns fit(U, V) -> (U, V, sse_history (n_sweeps,)). Keeping the sweep
+    loop on-device matters doubly on remote-attached TPUs where every host
+    readback costs tens of ms of tunnel latency; the reference's per-sweep
+    'compute train RMSE' (§3.1) becomes a device-side history read back once.
+    """
+
+    explicit = cfg.alpha is None
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _fit(U, V, ub, ib):
+        def body(carry, _):
+            U, V = carry
+            U = half_sweep(V, ub, n_users, cfg)
+            if explicit:
+                # SSE falls out of the item half-sweep's solves for free and
+                # equals masked_sse(U_new, V_new) (tested).
+                V, sse = half_sweep(U, ib, n_items, cfg, with_sse=True)
+            else:
+                V = half_sweep(U, ib, n_items, cfg)
+                sse = masked_sse(U, V, ub, chunk=cfg.chunk)
+            return (U, V), sse
+
+        (U, V), sse = jax.lax.scan(body, (U, V), None, length=n_sweeps)
+        return U, V, sse
+
+    def fit(U, V):
+        return _fit(U, V, user_buckets, item_buckets)
+
+    return fit
+
+
 __all__ = ["DeviceBuckets", "device_buckets", "half_sweep", "masked_sse",
-           "make_sweep_fns"]
+           "make_sweep_fns", "make_scanned_fit"]

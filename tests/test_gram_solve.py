@@ -91,3 +91,34 @@ def test_objective_weights_explicit_vs_implicit():
     wg, wr = objective_weights(vals, mask, 2.0)
     np.testing.assert_allclose(np.asarray(wg), [[2, 8, 0]])   # alpha*r
     np.testing.assert_allclose(np.asarray(wr), [[3, 9, 0]])   # 1+alpha*r
+
+
+def test_half_sweep_fused_sse_matches_masked_sse(rng):
+    """The solve-derived SSE (free from the item half-sweep) must equal the
+    explicit gather-based masked_sse at (U_new, V_new)."""
+    import jax.numpy as jnp
+    from recommendation_models_tpu.config import SolveConfig
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    from recommendation_models_tpu.solver.als_sweep import (
+        device_buckets, half_sweep, masked_sse)
+
+    n_users, n_items, k = 40, 30, 6
+    n_obs = 300
+    users = rng.integers(0, n_users, n_obs)
+    items = rng.integers(0, n_items, n_obs)
+    # dedup (u, i) pairs to keep CSR well-formed
+    uniq = np.unique(users * n_items + items)
+    users, items = uniq // n_items, uniq % n_items
+    vals = rng.uniform(1, 5, uniq.shape[0]).astype(np.float32)
+    ul = layout_from_coo(users, items, vals, n_users, n_items)
+    il = layout_from_coo(users, items, vals, n_users, n_items, transpose=True)
+    ub, ib = device_buckets(ul), device_buckets(il)
+    cfg = SolveConfig(rank=k, reg=0.05, solver="xla")
+
+    U = jnp.asarray(0.1 * rng.standard_normal((n_users, k)), jnp.float32)
+    U2 = half_sweep(jnp.asarray(0.1 * rng.standard_normal((n_items, k)),
+                                jnp.float32), ub, n_users, cfg)
+    V2, sse_fused = half_sweep(U2, ib, n_items, cfg, with_sse=True)
+    sse_ref = masked_sse(U2, V2, ub)
+    np.testing.assert_allclose(float(sse_fused), float(sse_ref),
+                               rtol=1e-3, atol=1e-2)

@@ -1,0 +1,69 @@
+"""Pallas batched Cholesky solve kernel tests (SURVEY.md §4.2-3).
+
+Runs in interpret mode on the CPU CI mesh (conftest pins default_device=cpu);
+the identical kernel code compiles via Mosaic on a real TPU.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from recommendation_models_tpu.ops.pallas.cholesky import cholesky_solve
+from recommendation_models_tpu.ops.solve import resolve_solver, solve_spd
+
+
+def _random_spd(rng, b, k, jitter=0.5):
+    A = rng.standard_normal((b, k, k)).astype(np.float32)
+    return A @ A.transpose(0, 2, 1) + jitter * np.eye(k, dtype=np.float32)
+
+
+@pytest.mark.parametrize("b,k", [(7, 10), (64, 64), (130, 24), (16, 128),
+                                 (9, 8), (1, 40)])
+def test_matches_dense_solve(rng, b, k):
+    G = _random_spd(rng, b, k)
+    rhs = rng.standard_normal((b, k)).astype(np.float32)
+    x = np.asarray(cholesky_solve(jnp.asarray(G), jnp.asarray(rhs)))
+    ref = np.stack([np.linalg.solve(G[i], rhs[i]) for i in range(b)])
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(x, ref, atol=5e-4 * scale, rtol=5e-4)
+
+
+def test_matches_xla_path(rng):
+    G = jnp.asarray(_random_spd(rng, 32, 16))
+    rhs = jnp.asarray(rng.standard_normal((32, 16)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(solve_spd(G, rhs, "pallas")),
+        np.asarray(solve_spd(G, rhs, "xla")),
+        atol=1e-4, rtol=1e-4)
+
+
+def test_ill_conditioned_with_ridge(rng):
+    """lambda-jitter keeps badly scaled grams solvable (SURVEY.md §7 hard
+    part 3)."""
+    b, k = 16, 32
+    A = rng.standard_normal((b, k, k)).astype(np.float32)
+    G = A @ A.transpose(0, 2, 1)
+    G[0] *= 1e-5                       # nearly singular after downscaling
+    G = G + 1e-3 * np.eye(k, dtype=np.float32)
+    rhs = rng.standard_normal((b, k)).astype(np.float32)
+    x = np.asarray(cholesky_solve(jnp.asarray(G), jnp.asarray(rhs)))
+    ref = np.stack([np.linalg.solve(G[i], rhs[i]) for i in range(b)])
+    assert np.isfinite(x).all()
+    resid = np.einsum("bij,bj->bi", G, x) - rhs
+    assert np.abs(resid).max() < 1e-2 * max(np.abs(rhs).max(), 1.0)
+
+
+def test_zero_system_padding_guard():
+    """All-zero G rows (empty padded rows with reg=0) solve to finite zeros,
+    not NaN — mirrors the sweep's 'padding contributes exactly zero' rule."""
+    G = jnp.zeros((4, 8, 8), jnp.float32)
+    rhs = jnp.zeros((4, 8), jnp.float32)
+    x = np.asarray(cholesky_solve(G, rhs))
+    assert np.isfinite(x).all()
+    np.testing.assert_array_equal(x, 0.0)
+
+
+def test_auto_resolves_off_tpu():
+    # conftest pins default_device=cpu, so auto must pick the XLA anchor.
+    assert resolve_solver("auto") == "xla"
+    assert resolve_solver("pallas") == "pallas"
