@@ -184,14 +184,7 @@ class ALS(BaseEstimator):
         self._sharded_program = prog
 
         if U0 is not None and V0 is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            sharding = NamedSharding(mesh, P(mesh.axis_names[0], None))
-            U = jnp.zeros((prog.upr * prog.n_shards, self.rank), jnp.float32
-                          ).at[:n_users].set(jnp.asarray(U0, jnp.float32))
-            V = jnp.zeros((prog.ipr * prog.n_shards, self.rank), jnp.float32
-                          ).at[:n_items].set(jnp.asarray(V0, jnp.float32))
-            U = jax.device_put(U, sharding)
-            V = jax.device_put(V, sharding)
+            U, V = prog.place_factors(U0, V0)
         else:
             U, V = prog.init_factors(self.seed, self.init_scale)
 
@@ -208,8 +201,9 @@ class ALS(BaseEstimator):
                 break
             prev = cur
 
-        self.U_ = np.asarray(U)[:n_users]
-        self.V_ = np.asarray(V)[:n_items]
+        from recommendation_models_tpu.parallel.mesh import to_host
+        self.U_ = to_host(U)[:n_users]
+        self.V_ = to_host(V)[:n_items]
         return self
 
     def _maybe_checkpoint(self, sweep_idx, U, V):

@@ -68,4 +68,17 @@ def get_mesh(n_shards: Optional[int] = None,
     return Mesh(np.asarray(devices[:n_shards]), (axis,))
 
 
-__all__ = ["get_mesh", "initialize_distributed"]
+def to_host(x) -> np.ndarray:
+    """Fetch a (possibly multi-host sharded) jax.Array to host NumPy.
+
+    Single-process arrays are fully addressable and copy directly; on a
+    multi-host mesh the non-addressable shards are all-gathered across
+    processes first (SURVEY.md §5 distributed backend: DCN only carries
+    per-sweep scalars and final fetches)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+__all__ = ["get_mesh", "initialize_distributed", "to_host"]

@@ -139,8 +139,14 @@ class ShardedALSProgram:
         axis = self.axis
 
         def shard_put(x):
+            # make_array_from_callback (not device_put): each process places
+            # only its addressable shards, so the same code path serves one
+            # process or a multi-host pod slice (SURVEY.md N6).
+            x = np.asarray(x)
             spec = P(axis, *([None] * (x.ndim - 1)))
-            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+            sharding = NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
 
         def put_buckets(layout: ShardedLayout, plan: Optional[ExchangePlan]):
             out = []
@@ -199,16 +205,37 @@ class ShardedALSProgram:
     # ------------------------------------------------------------------
     def init_factors(self, seed: int, init_scale: float):
         """Random init, sharded; rows beyond the true table sizes are zeroed
-        (padded rows must not pollute the implicit global gramian)."""
-        key_u, key_v = jax.random.split(jax.random.PRNGKey(seed))
+        (padded rows must not pollute the implicit global gramian).
+
+        Host-side NumPy RNG (same seed on every process) + per-shard
+        placement, so the init is identical across any process count.
+        """
+        rng = np.random.default_rng(seed)
         k = self.cfg.rank
         nup, nip = self.upr * self.n_shards, self.ipr * self.n_shards
-        U = init_scale * jax.random.normal(key_u, (nup, k), jnp.float32)
-        V = init_scale * jax.random.normal(key_v, (nip, k), jnp.float32)
-        U = jnp.where(jnp.arange(nup)[:, None] < self.n_users, U, 0.0)
-        V = jnp.where(jnp.arange(nip)[:, None] < self.n_items, V, 0.0)
+        U = init_scale * rng.standard_normal((nup, k)).astype(np.float32)
+        V = init_scale * rng.standard_normal((nip, k)).astype(np.float32)
+        U[self.n_users:] = 0.0
+        V[self.n_items:] = 0.0
         sharding = NamedSharding(self.mesh, P(self.axis, None))
-        return jax.device_put(U, sharding), jax.device_put(V, sharding)
+        return (jax.make_array_from_callback(U.shape, sharding,
+                                             lambda idx: U[idx]),
+                jax.make_array_from_callback(V.shape, sharding,
+                                             lambda idx: V[idx]))
+
+    def place_factors(self, U0, V0):
+        """Place warm-start host factors (n_users/n_items rows) onto the
+        padded sharded tables (works under any process count)."""
+        k = self.cfg.rank
+        U = np.zeros((self.upr * self.n_shards, k), np.float32)
+        V = np.zeros((self.ipr * self.n_shards, k), np.float32)
+        U[: self.n_users] = np.asarray(U0, np.float32)
+        V[: self.n_items] = np.asarray(V0, np.float32)
+        sharding = NamedSharding(self.mesh, P(self.axis, None))
+        return (jax.make_array_from_callback(U.shape, sharding,
+                                             lambda idx: U[idx]),
+                jax.make_array_from_callback(V.shape, sharding,
+                                             lambda idx: V[idx]))
 
     def sweep(self, U, V):
         return self._sweep(U, V, self._ub, self._ib, self._uplan, self._iplan)

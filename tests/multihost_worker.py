@@ -1,0 +1,90 @@
+"""Worker script for the 2-process multi-host tests (SURVEY.md §4.2-6, §5).
+
+Launched as a subprocess by test_multihost.py with:
+  python multihost_worker.py <coordinator> <num_procs> <proc_id> <outdir>
+      [--crash-after-sweep N] [--resume]
+
+Runs jax.distributed over CPU devices (4 virtual per process -> an 8-device
+global mesh), fits sharded ALS on a deterministic tiny problem, and writes
+its final factors (process 0) to <outdir>/result.npz. With
+--crash-after-sweep N it checkpoints every sweep and hard-exits after sweep
+N (fault injection); with --resume it restores from the newest checkpoint
+and finishes the remaining sweeps.
+"""
+
+import os
+import sys
+
+coordinator, num_procs, proc_id, outdir = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+crash_after = None
+if "--crash-after-sweep" in sys.argv:
+    crash_after = int(sys.argv[sys.argv.index("--crash-after-sweep") + 1])
+resume = "--resume" in sys.argv
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+# always exactly 8 global devices: strip any inherited force flag first
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+_flags.append(f"--xla_force_host_platform_device_count={8 // num_procs}")
+os.environ["XLA_FLAGS"] = " ".join(_flags)
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=num_procs, process_id=proc_id)
+assert jax.device_count() == 8, jax.devices()   # global mesh is always 8
+
+from recommendation_models_tpu.config import SolveConfig  # noqa: E402
+from recommendation_models_tpu.data.layout import (  # noqa: E402
+    build_layout, csr_arrays, layout_from_coo, shard_layout)
+from recommendation_models_tpu.parallel.mesh import get_mesh, to_host  # noqa: E402
+from recommendation_models_tpu.parallel.sharded_als import (  # noqa: E402
+    ShardedALSProgram)
+from recommendation_models_tpu.utils.checkpoint import (  # noqa: E402
+    load_latest, save_checkpoint)
+
+# deterministic tiny problem (same on all processes)
+rng = np.random.default_rng(0)
+n_users, n_items, rank, n_sweeps = 48, 40, 5, 4
+mask = rng.random((n_users, n_items)) < 0.3
+R = np.where(mask, rng.uniform(1, 5, mask.shape), 0.0).astype(np.float32)
+indptr, indices, data, _, _ = csr_arrays(R)
+rows = np.repeat(np.arange(n_users), np.diff(indptr))
+
+n_shards = jax.device_count()
+mesh = get_mesh(n_shards)
+cfg = SolveConfig(rank=rank, reg=0.2, solver="xla")
+prog = ShardedALSProgram(
+    shard_layout(build_layout(indptr, indices, data, n_users, n_items),
+                 n_shards),
+    shard_layout(layout_from_coo(rows, indices, data, n_users, n_items,
+                                 transpose=True), n_shards),
+    mesh, cfg)
+
+ckpt_dir = os.path.join(outdir, "ckpt")
+start_sweep = 0
+if resume:
+    step, state = load_latest(ckpt_dir)
+    U, V = prog.place_factors(state["U"][:n_users], state["V"][:n_items])
+    start_sweep = step
+else:
+    U, V = prog.init_factors(seed=3, init_scale=0.1)
+
+for s in range(start_sweep, n_sweeps):
+    U, V = prog.sweep(U, V)
+    Uh, Vh = to_host(U)[:n_users], to_host(V)[:n_items]
+    if crash_after is not None:
+        # orbax save is a cross-process collective: every process calls it
+        save_checkpoint(ckpt_dir, step=s + 1, state=dict(U=Uh, V=Vh))
+    if crash_after is not None and s + 1 >= crash_after:
+        # fault injection: hard exit mid-training (no cleanup, no barrier)
+        os._exit(17)
+
+sse = float(prog.train_sse(U, V))
+# to_host is a cross-process collective: EVERY process must call it
+Uh, Vh = to_host(U)[:n_users], to_host(V)[:n_items]
+if proc_id == 0:
+    np.savez(os.path.join(outdir, "result.npz"), U=Uh, V=Vh, sse=sse)
+print(f"proc {proc_id} done sse={sse:.6f}", flush=True)

@@ -1,0 +1,112 @@
+"""Multi-host tests: 2-process jax.distributed CPU mesh (SURVEY.md §4.2-6)
+plus fault injection -> restart-from-checkpoint recovery (§5 'Failure
+detection / elastic recovery').
+
+Each test launches real subprocesses running tests/multihost_worker.py with
+`jax.distributed.initialize` over localhost; the global mesh is 2 processes
+x 4 virtual CPU devices. Marked slow-ish (~1 min total); processes are
+killed by exact PID on timeout, never by pattern.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _env_cpu_only():
+    """Worker env: repo importable, TPU plugins unregistered (the axon plugin
+    ignores JAX_PLATFORMS, so it must not be importable at all)."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)      # worker sets its own
+    keep = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([_REPO, *keep])
+    return env
+
+
+def _launch(coordinator, n_procs, proc_id, outdir, extra=()):
+    env = _env_cpu_only()
+    return subprocess.Popen(
+        [sys.executable, _WORKER, coordinator, str(n_procs), str(proc_id),
+         str(outdir), *extra],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+def _run_all(outdir, extra=(), timeout=240, expect_rc=(0, 0)):
+    coordinator = f"localhost:{_free_port()}"
+    procs = [_launch(coordinator, 2, i, outdir, extra) for i in range(2)]
+    outs = []
+    try:
+        for p, want in zip(procs, expect_rc):
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+            assert p.returncode == want, f"rc={p.returncode}\n{out}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()                 # exact PID only
+                p.communicate()
+    return outs
+
+
+@pytest.fixture(scope="module")
+def single_process_reference(tmp_path_factory):
+    """The same problem fit in ONE process on an 8-device mesh (the worker's
+    deterministic problem + init), for cross-process-count invariance."""
+    out = tmp_path_factory.mktemp("ref")
+    env = _env_cpu_only()
+    # run the worker with 1 process and 8 local devices -> identical global mesh
+    coordinator = f"localhost:{_free_port()}"
+    p = subprocess.Popen(
+        [sys.executable, _WORKER, coordinator, "1", "0", str(out)],
+        env={**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        o, _ = p.communicate(timeout=240)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.communicate()
+    assert p.returncode == 0, o
+    return np.load(out / "result.npz")
+
+
+def test_two_process_fit_matches_single(tmp_path, single_process_reference):
+    """2-proc x 4-dev result == 1-proc x 8-dev result (process-count
+    invariance of the sharded program)."""
+    outs = _run_all(tmp_path)
+    res = np.load(tmp_path / "result.npz")
+    ref = single_process_reference
+    np.testing.assert_allclose(res["U"], ref["U"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["V"], ref["V"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
+
+
+def test_fault_injection_restart_resume(tmp_path, single_process_reference):
+    """Kill the job after sweep 2 (os._exit mid-training), then restart both
+    processes with --resume: the resumed run must finish and reproduce the
+    uninterrupted result."""
+    # phase 1: crash after sweep 2 (both workers exit 17 by design)
+    _run_all(tmp_path, extra=("--crash-after-sweep", "2"),
+             expect_rc=(17, 17))
+    assert os.path.isdir(tmp_path / "ckpt"), "no checkpoint written pre-crash"
+    assert not (tmp_path / "result.npz").exists()
+    # phase 2: restart-resume from the latest checkpoint
+    _run_all(tmp_path, extra=("--resume",))
+    res = np.load(tmp_path / "result.npz")
+    ref = single_process_reference
+    np.testing.assert_allclose(res["U"], ref["U"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
