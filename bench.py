@@ -12,8 +12,10 @@ oracle (Python per-row loops + scipy solve — SURVEY.md §6: the reference
 publishes no numbers, so the baseline is measured here), sampled over enough
 rows to be stable and expressed as rows/sec.
 
-Env knobs: BENCH_SCALE=ml25m|ml1m|tiny, BENCH_RANK, BENCH_SWEEPS,
-BENCH_SOLVER=xla|pallas, BENCH_DTYPE=float32|bfloat16.
+Env knobs: BENCH_SCALE=ml25m|ml1m|tiny|synth100m, BENCH_RANK, BENCH_SWEEPS,
+BENCH_SOLVER=auto|xla|pallas, BENCH_DTYPE=auto|float32|bfloat16,
+BENCH_MODE=train|serving (serving = top-k retrieval QPS + recall@10/NDCG@10,
+BASELINE.md config 5).
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ import numpy as np
 
 SCALES = {
     # n_users, n_items, n_obs
+    "synth100m": (500_000, 200_000, 100_000_000),
     "ml25m": (162_541, 62_423, 25_000_000),
     "ml1m": (6_040, 3_706, 1_000_209),
     "ml100k": (943, 1_682, 100_000),
@@ -34,13 +37,90 @@ SCALES = {
 }
 
 
+def serving_bench(scale, rank, n_users, n_items) -> None:
+    """Top-k retrieval serving path (SURVEY.md N9): sharded-capable scoring
+    matmul + lax.top_k; reports QPS vs the NumPy argpartition oracle and
+    recall@10/NDCG@10 of the model against a held-out split."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from recommendation_models_tpu.data.synthetic import synthetic_ratings
+    from recommendation_models_tpu.evaluate import (
+        leave_n_out, ndcg_at_k, recall_at_k)
+    from recommendation_models_tpu.evaluate.protocol import relevant_by_user
+    from recommendation_models_tpu.models.als import ALS
+    from recommendation_models_tpu.ops.topk import topk_scores
+
+    users, items, ratings = synthetic_ratings(
+        n_users, n_items, min(SCALES[scale][2], 5_000_000), rank=16, seed=0)
+    tr, te = leave_n_out(users, items, ratings, n=2, seed=0)
+    train = sp.csr_matrix((ratings[tr], (users[tr], items[tr])),
+                          shape=(n_users, n_items))
+    model = ALS(rank=rank, alpha=1.0, reg=0.1, n_sweeps=8, seed=0).fit(train)
+
+    k = 10
+    rel = relevant_by_user(users[te], items[te], n_users)
+    eval_users = np.flatnonzero([len(r) > 0 for r in rel])[:20_000]
+    _, topk = model.recommend(eval_users, n=k, exclude_seen=True)
+    recall = recall_at_k(topk, [rel[u] for u in eval_users])
+    ndcg = ndcg_at_k(topk, [rel[u] for u in eval_users])
+
+    # throughput: scored users/sec on device (exclusion off the hot path)
+    U = jnp.asarray(model.U_)
+    V = jnp.asarray(model.V_)
+    qbatch = min(4096, n_users)
+    reps = 50
+    Uq = U[:qbatch]
+
+    def scanned(Uq, V):
+        def body(c, _):
+            sc, it = topk_scores(Uq + c * 1e-20, V, k)
+            return jnp.sum(sc), None
+        tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                              length=reps)
+        return tot
+    g = jax.jit(scanned)
+    _ = np.asarray(g(Uq, V))
+    t = time.perf_counter()
+    _ = np.asarray(g(Uq, V))
+    qps = qbatch * reps / (time.perf_counter() - t)
+
+    # CPU oracle: full scores + argpartition per user (reference top_n path)
+    Vh = np.asarray(model.V_)
+    sample = min(512, qbatch)
+    t = time.perf_counter()
+    s = np.asarray(model.U_[:sample]) @ Vh.T
+    np.argpartition(-s, k, axis=1)[:, :k]
+    oracle_qps = sample / (time.perf_counter() - t)
+
+    print(json.dumps({
+        "metric": f"topk_retrieval_users_per_sec_rank{rank}_{scale}_synth",
+        "value": round(qps, 1),
+        "unit": "users/s/chip",
+        "vs_baseline": round(qps / oracle_qps, 2),
+        "extra": {
+            "recall_at_10": round(float(recall), 4),
+            "ndcg_at_10": round(float(ndcg), 4),
+            "eval_users": int(eval_users.shape[0]),
+            "oracle_users_per_sec": round(oracle_qps, 1),
+            "device": jax.devices()[0].device_kind,
+        },
+    }))
+
+
 def main() -> None:
     scale = os.environ.get("BENCH_SCALE", "ml25m")
     rank = int(os.environ.get("BENCH_RANK", "64"))
-    n_sweeps = int(os.environ.get("BENCH_SWEEPS", "3"))
+    # enough sweeps that the one-off dispatch + readback latency of the
+    # remote-attached TPU amortizes out of the per-epoch number
+    n_sweeps = int(os.environ.get("BENCH_SWEEPS", "10"))
     solver = os.environ.get("BENCH_SOLVER", "auto")
-    compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    compute_dtype = os.environ.get("BENCH_DTYPE", "auto")
     n_users, n_items, n_obs = SCALES[scale]
+
+    if os.environ.get("BENCH_MODE", "train") == "serving":
+        serving_bench(scale, rank, n_users, n_items)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -25,12 +25,18 @@ class SolveConfig:
     # Gather/gram chunk along the padded-degree axis; bounds VMEM/HBM use for
     # whale rows (SURVEY.md §5 "long-context" analog: chunked gram accumulation).
     chunk: int = 512
+    # HBM budget (MB) for one gathered (rows, P, k) block: big buckets are
+    # scanned in row-blocks this size, scatter-adding into the dense normal
+    # equations, so the gather temp never scales with the bucket.
+    gather_budget_mb: int = 256
     # 'auto' = pallas on TPU / xla elsewhere; 'xla' = jnp.linalg.cholesky +
     # triangular solves (correctness anchor); 'pallas' = fused Pallas kernel;
     # 'lu' = jnp.linalg.solve fallback for ill-conditioned tests.
     solver: str = "auto"
-    # dtype for the gram/matmul compute path (factors are always float32).
-    compute_dtype: str = "float32"
+    # dtype for the gram/matmul compute path (factors and all accumulation
+    # stay float32). 'auto' = bfloat16 on TPU (half the gather HBM bytes,
+    # 2x MXU; quality within run-to-run variance), float32 elsewhere.
+    compute_dtype: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,9 +62,11 @@ class DataConfig:
     """Ratings ingest and padded-layout construction (SURVEY.md N1/N12)."""
 
     # Degree buckets are powers of two between these bounds; rows pad up to
-    # their bucket. Lower bound 8 matches the f32 sublane tile.
+    # their bucket. Lower bound 8 matches the f32 sublane tile. Rows with
+    # more than max_bucket observations are SPLIT into multiple segments of
+    # max_bucket (gram additivity), keeping every padded block MXU-batchable.
     min_bucket: int = 8
-    max_bucket: int = 1 << 17
+    max_bucket: int = 4096
     # Pad each bucket's row count to a multiple of this (sublane alignment).
     row_multiple: int = 8
     # Cap on padding blowup before a row is split across chunks internally.

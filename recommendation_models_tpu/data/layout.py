@@ -40,10 +40,12 @@ def _pad_size(deg: int, min_bucket: int, max_bucket: int) -> int:
 
 @dataclasses.dataclass
 class Bucket:
-    """One degree bucket: ``B`` rows padded to degree ``P``.
+    """One degree bucket: ``B`` row *segments* padded to degree ``P``.
 
     ``row_ids`` uses ``n_rows`` (out of range) as the sentinel for padding
-    rows so results scatter with ``mode='drop'``.
+    rows so results scatter with ``mode='drop'``. A whale row split across
+    several segments appears several times with the same id — consumers must
+    scatter-ADD partial gram/rhs contributions, never overwrite.
     """
 
     pad: int                 # P
@@ -116,31 +118,38 @@ def build_layout(
     data = np.asarray(data, dtype=np.float32)
     degrees = np.diff(indptr).astype(np.int64)
     nnz = int(degrees.sum())
+    S = int(cfg.max_bucket)
 
-    # Padded size per row -> bucket key.
-    pads = np.empty(n_rows, dtype=np.int64)
-    small = degrees <= cfg.min_bucket
-    pads[small] = cfg.min_bucket
-    mid = (~small) & (degrees <= cfg.max_bucket)
+    # Whale splitting: a row with degree > S becomes ceil(deg/S) SEGMENTS of
+    # <= S observations each, all carrying the same row id. Gram matrices
+    # are additive, so partial normal equations scatter-ADD into the row's
+    # dense (k, k) system downstream — turning what was a deep serial chunk
+    # scan over one huge padded row into batch parallelism across segments
+    # (SURVEY.md §5 "long-context" analog; §7 hard part 1). Zero-degree rows
+    # keep one empty segment so every factor row stays defined.
+    n_segs = np.maximum(-(-degrees // S), 1)
+    seg_row = np.repeat(np.arange(n_rows, dtype=np.int64), n_segs)
+    seg_off = (np.arange(seg_row.shape[0], dtype=np.int64)
+               - np.repeat(np.cumsum(n_segs) - n_segs, n_segs))
+    seg_deg = np.clip(degrees[seg_row] - seg_off * S, 0, S)
+    seg_start = indptr[seg_row] + seg_off * S
+
+    # Padded size per segment -> bucket key (always <= S now).
+    pads = np.full(seg_row.shape[0], cfg.min_bucket, dtype=np.int64)
+    mid = seg_deg > cfg.min_bucket
     if mid.any():
-        pads[mid] = 1 << np.ceil(np.log2(degrees[mid])).astype(np.int64)
-    big = degrees > cfg.max_bucket
-    if big.any():
-        pads[big] = cfg.max_bucket * -(-degrees[big] // cfg.max_bucket)
+        pads[mid] = 1 << np.ceil(np.log2(seg_deg[mid])).astype(np.int64)
 
     buckets = []
     for pad in np.unique(pads):
         pad = int(pad)
         sel = np.flatnonzero(pads == pad)
-        # Skip a bucket that is entirely empty rows at min_bucket: rows with
-        # degree 0 solve to pure-regularized zeros; keep them so the factor
-        # row is defined (matches reference behavior of leaving init/zero).
-        deg = degrees[sel]
+        deg = seg_deg[sel]
         b_real = sel.shape[0]
         b = int(-(-b_real // cfg.row_multiple) * cfg.row_multiple)
 
         row_ids = np.full(b, n_rows, dtype=np.int32)
-        row_ids[:b_real] = sel.astype(np.int32)
+        row_ids[:b_real] = seg_row[sel].astype(np.int32)
         idx = np.zeros((b, pad), dtype=np.int32)
         val = np.zeros((b, pad), dtype=np.float32)
         msk = np.zeros((b, pad), dtype=np.float32)
@@ -149,7 +158,7 @@ def build_layout(
         if total:
             cum = np.cumsum(deg)
             within = np.arange(total, dtype=np.int64) - np.repeat(cum - deg, deg)
-            src = np.repeat(indptr[sel], deg) + within
+            src = np.repeat(seg_start[sel], deg) + within
             rowpos = np.repeat(np.arange(b_real, dtype=np.int64), deg)
             idx[rowpos, within] = indices[src]
             val[rowpos, within] = data[src]

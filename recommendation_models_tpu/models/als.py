@@ -49,14 +49,14 @@ class ALS(BaseEstimator):
         reg_by_degree: bool = False,
         solver: str = "auto",
         chunk: int = 512,
-        compute_dtype: str = "float32",
+        compute_dtype: str = "auto",
         n_shards: Optional[int] = None,
         exchange: str = "allgather",
         platform: Optional[str] = None,
         seed: int = 0,
         init_scale: float = 0.01,
         min_bucket: int = 8,
-        max_bucket: int = 1 << 17,
+        max_bucket: int = 4096,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
         verbose: int = 0,

@@ -63,39 +63,19 @@ def _half_sweep_local(V_loc, buckets, plan, n_local_rows, cfg: SolveConfig, axis
         dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
              values=b["values"][0], mask=b["mask"][0])
         for b in buckets)
-    # one concatenated batched-Cholesky call per shard per half-sweep
-    x_all, rid_all, _ = solve_all_buckets(V_src, local, cfg, g0)
-    return jnp.zeros((n_local_rows, k), jnp.float32
-                     ).at[rid_all].set(x_all, mode="drop")
+    # one dense scatter-add + batched-Cholesky call per shard per half-sweep
+    U_new, _ = solve_all_buckets(V_src, local, n_local_rows, cfg, g0)
+    return U_new
 
 
 def _local_sse(U_loc, V_src, buckets, chunk):
-    total = jnp.zeros((), jnp.float32)
-    for b in buckets:
-        Ug = jnp.take(U_loc, b["row_ids"][0], axis=0, mode="fill", fill_value=0.0)
-        idx, val, msk = b["indices"][0], b["values"][0], b["mask"][0]
-        p = idx.shape[-1]
-        n_chunks = -(-p // chunk)
-        pad = n_chunks * chunk - p
-        if pad:
-            idx = jnp.pad(idx, ((0, 0), (0, pad)))
-            val = jnp.pad(val, ((0, 0), (0, pad)))
-            msk = jnp.pad(msk, ((0, 0), (0, pad)))
-        idx_c = idx.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
-        val_c = val.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
-        msk_c = msk.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
+    from recommendation_models_tpu.solver.als_sweep import masked_sse
 
-        def body(acc, xs):
-            i_c, v_c, m_c = xs
-            Vg = jnp.take(V_src, i_c, axis=0)
-            pred = jnp.einsum("bk,bpk->bp", Ug, Vg,
-                              preferred_element_type=jnp.float32)
-            return acc + jnp.sum(m_c * (v_c - pred) ** 2), None
-
-        init = match_vma(jnp.zeros((), jnp.float32), (U_loc, V_src, idx, val))
-        part, _ = jax.lax.scan(body, init, (idx_c, val_c, msk_c))
-        total = total + part
-    return total
+    local = tuple(
+        dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
+             values=b["values"][0], mask=b["mask"][0])
+        for b in buckets)
+    return masked_sse(U_loc, V_src, local, chunk=chunk)
 
 
 class ShardedALSProgram:
@@ -114,10 +94,14 @@ class ShardedALSProgram:
         # backend): a CPU test/dry-run mesh under an attached TPU must take
         # the XLA anchor path, a TPU mesh the Pallas kernel.
         mesh_platform = mesh.devices.flat[0].platform
+        import dataclasses as _dc
         if cfg.solver == "auto":
-            import dataclasses as _dc
             cfg = _dc.replace(
                 cfg, solver="pallas" if mesh_platform == "tpu" else "xla")
+        if cfg.compute_dtype == "auto":
+            cfg = _dc.replace(
+                cfg, compute_dtype=("bfloat16" if mesh_platform == "tpu"
+                                    else "float32"))
         self.cfg = cfg
         self.axis = mesh.axis_names[0]
         self.n_shards = mesh.shape[self.axis]

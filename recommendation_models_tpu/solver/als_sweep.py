@@ -25,7 +25,10 @@ import numpy as np
 from recommendation_models_tpu.config import SolveConfig
 from recommendation_models_tpu.data.layout import PaddedLayout
 from recommendation_models_tpu.ops.gram import gram_rhs, objective_weights
-from recommendation_models_tpu.ops.solve import add_ridge, solve_spd
+from recommendation_models_tpu.ops.solve import (
+    add_ridge, resolve_compute_dtype, solve_spd,
+)
+from recommendation_models_tpu.utils.compat import match_vma
 
 # A device bucket is a dict pytree: row_ids (B,), indices (B,P),
 # values (B,P), mask (B,P).
@@ -45,50 +48,80 @@ def device_buckets(layout: PaddedLayout) -> DeviceBuckets:
     )
 
 
-def solve_all_buckets(V, buckets, cfg: SolveConfig, g0, with_sse=False):
-    """Gram-accumulate every bucket, then solve ALL rows in ONE batched
-    Cholesky call.
+def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
+                      with_sse=False):
+    """Scatter-ADD every bucket's partial normal equations into one dense
+    per-row system, then solve ALL rows in ONE batched Cholesky call.
 
-    Per-bucket shapes differ (degree buckets), but the (B, k, k) normal
-    equations all share k — concatenating along the batch before the solve
-    means a single Pallas kernel shape per half-sweep (one Mosaic compile,
-    one launch) instead of one per bucket. Returns (x_all, row_ids_all[,
-    sse]); ``row_ids_all`` carries each bucket's scatter targets in the same
-    order.
+    Whale rows arrive as several segments with the same row id (layout.py);
+    gram additivity makes the scatter-add exact. The dense (n_rows, k, k)
+    layout gives a single Pallas kernel shape per half-sweep, and the solve
+    output IS the new factor table — no final scatter. Zero-degree rows
+    solve against ridge(+G0) with rhs 0 => exactly 0.
+
+    Returns (x (n_rows, k), sse-or-None).
     """
-    Gs, rhss, rids, degs = [], [], [], []
+    k = V.shape[-1]
+    dtype = jnp.dtype(resolve_compute_dtype(cfg.compute_dtype))
+    G_dense = jnp.zeros((n_rows, k, k), jnp.float32)
+    rhs_dense = jnp.zeros((n_rows, k), jnp.float32)
+    deg_dense = jnp.zeros((n_rows,), jnp.float32) if cfg.reg_by_degree else None
     r2 = jnp.zeros((), jnp.float32)
     for bucket in buckets:
         wg, wr = objective_weights(bucket["values"], bucket["mask"], cfg.alpha)
-        G, rhs = gram_rhs(V, bucket["indices"], wg, wr,
-                          chunk=cfg.chunk,
-                          compute_dtype=jnp.dtype(cfg.compute_dtype))
-        if g0 is not None:
-            G = G + g0
-        Gs.append(G)
-        rhss.append(rhs)
-        rids.append(bucket["row_ids"])
-        if cfg.reg_by_degree:
-            degs.append(bucket["mask"].sum(-1))
+        rid = bucket["row_ids"]
+        b, p = bucket["indices"].shape
+        # Row-block big buckets so the gathered (rows, P, k) temp stays under
+        # the HBM budget; each block scatter-adds straight into the dense
+        # normal equations (peak memory = dense G + ONE block temp).
+        bb = max(8, (cfg.gather_budget_mb * (1 << 20))
+                 // (p * k * dtype.itemsize) // 8 * 8)
+        if b <= bb:
+            G, rhs = gram_rhs(V, bucket["indices"], wg, wr,
+                              chunk=cfg.chunk, compute_dtype=dtype)
+            G_dense = G_dense.at[rid].add(G, mode="drop")
+            rhs_dense = rhs_dense.at[rid].add(rhs, mode="drop")
+        else:
+            n_bb = -(-b // bb)
+            pad = n_bb * bb - b
+            idx_s = jnp.pad(bucket["indices"], ((0, pad), (0, 0))
+                            ).reshape(n_bb, bb, p)
+            wg_s = jnp.pad(wg, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+            wr_s = jnp.pad(wr, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+            rid_s = jnp.pad(rid, (0, pad), constant_values=n_rows
+                            ).reshape(n_bb, bb)
+
+            def body(carry, xs):
+                Gd, rd = carry
+                idx_b, wg_b, wr_b, rid_b = xs
+                G, rhs = gram_rhs(V, idx_b, wg_b, wr_b,
+                                  chunk=cfg.chunk, compute_dtype=dtype)
+                return (Gd.at[rid_b].add(G, mode="drop"),
+                        rd.at[rid_b].add(rhs, mode="drop")), None
+
+            init = match_vma((G_dense, rhs_dense), (V, bucket["indices"]))
+            (G_dense, rhs_dense), _ = jax.lax.scan(
+                body, init, (idx_s, wg_s, wr_s, rid_s))
+        if deg_dense is not None:
+            deg_dense = deg_dense.at[rid].add(bucket["mask"].sum(-1),
+                                              mode="drop")
         if with_sse:
             r2 = r2 + jnp.sum(bucket["mask"] * bucket["values"] ** 2)
-    G_all = jnp.concatenate(Gs, axis=0) if len(Gs) > 1 else Gs[0]
-    rhs_all = jnp.concatenate(rhss, axis=0) if len(rhss) > 1 else rhss[0]
-    rid_all = jnp.concatenate(rids, axis=0) if len(rids) > 1 else rids[0]
-    degrees = (jnp.concatenate(degs, axis=0) if len(degs) > 1 else degs[0]) \
-        if cfg.reg_by_degree else None
-    x_all = solve_spd(add_ridge(G_all, cfg.reg, degrees), rhs_all, cfg.solver)
+    if g0 is not None:
+        G_dense = G_dense + g0
+    x = solve_spd(add_ridge(G_dense, cfg.reg, deg_dense), rhs_dense,
+                  cfg.solver)
     if not with_sse:
-        return x_all, rid_all, None
+        return x, None
     # Explicit-objective residual, free from the solve's own quantities:
     # sse_row = sum w r^2 - 2 x.rhs + x^T (G - ridge) x. Summed over the
     # *item* half-sweep's rows this equals masked_sse(U_new, V_new) (tested)
     # — replaces a whole extra gather/einsum eval pass.
-    gx = jnp.einsum("bkl,bl->bk", G_all, x_all,
+    gx = jnp.einsum("bkl,bl->bk", G_dense, x,
                     preferred_element_type=jnp.float32)
-    sse = r2 + jnp.einsum("bk,bk->", x_all, gx - 2.0 * rhs_all,
+    sse = r2 + jnp.einsum("bk,bk->", x, gx - 2.0 * rhs_dense,
                           preferred_element_type=jnp.float32)
-    return x_all, rid_all, sse
+    return x, sse
 
 
 def half_sweep(
@@ -105,14 +138,11 @@ def half_sweep(
     Rows with zero observations solve to exactly zero (explicit) or the
     pure-G0 ridge solution (implicit with zero rhs => zero as well).
     """
-    k = V.shape[-1]
     g0 = None
     if cfg.alpha is not None:
         g0 = jnp.einsum("nk,nl->kl", V, V,
                         preferred_element_type=jnp.float32)
-    x_all, rid_all, sse = solve_all_buckets(V, buckets, cfg, g0,
-                                            with_sse=with_sse)
-    U = jnp.zeros((n_rows, k), jnp.float32).at[rid_all].set(x_all, mode="drop")
+    U, sse = solve_all_buckets(V, buckets, n_rows, cfg, g0, with_sse=with_sse)
     if with_sse:
         return U, sse
     return U
@@ -123,44 +153,70 @@ def masked_sse(
     V: jnp.ndarray,
     buckets: DeviceBuckets,
     chunk: int = 512,
+    gather_budget_mb: int = 256,
 ) -> jnp.ndarray:
     """Sum of squared residuals over observed entries: Σ mask (r - u·v)^2.
 
     Used for train-RMSE / the tol-based sweep stopping rule (reference §3.1
-    'compute train RMSE; break if Δ < tol').
+    'compute train RMSE; break if Δ < tol'). Big buckets are processed in
+    row-blocks (then degree chunks) so the gathered temp stays bounded.
     """
+    k = V.shape[-1]
     total = jnp.zeros((), jnp.float32)
-    for b in buckets:
-        Ug = jnp.take(U, b["row_ids"], axis=0, mode="fill", fill_value=0.0)
-        idx, val, msk = b["indices"], b["values"], b["mask"]
-        p = idx.shape[1]
+
+    def block_sse(rid_b, idx_b, val_b, msk_b):
+        """SSE of one (bb, p) block, degree-chunked."""
+        Ug = jnp.take(U, rid_b, axis=0, mode="fill", fill_value=0.0)
+        p = idx_b.shape[1]
         n_chunks = -(-p // chunk)
         if n_chunks <= 1:
-            Vg = jnp.take(V, idx, axis=0)
+            Vg = jnp.take(V, idx_b, axis=0)
             pred = jnp.einsum("bk,bpk->bp", Ug, Vg,
                               preferred_element_type=jnp.float32)
-            total = total + jnp.sum(msk * (val - pred) ** 2)
-        else:
-            pad = n_chunks * chunk - p
-            if pad:
-                idx = jnp.pad(idx, ((0, 0), (0, pad)))
-                val = jnp.pad(val, ((0, 0), (0, pad)))
-                msk = jnp.pad(msk, ((0, 0), (0, pad)))
-            idx_c = idx.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
-            val_c = val.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
-            msk_c = msk.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
+            return jnp.sum(msk_b * (val_b - pred) ** 2)
+        pad = n_chunks * chunk - p
+        if pad:
+            idx_b = jnp.pad(idx_b, ((0, 0), (0, pad)))
+            val_b = jnp.pad(val_b, ((0, 0), (0, pad)))
+            msk_b = jnp.pad(msk_b, ((0, 0), (0, pad)))
+        idx_c = idx_b.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
+        val_c = val_b.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
+        msk_c = msk_b.reshape(-1, n_chunks, chunk).swapaxes(0, 1)
 
-            def body(acc, xs):
-                i_c, v_c, m_c = xs
-                Vg = jnp.take(V, i_c, axis=0)
-                pred = jnp.einsum("bk,bpk->bp", Ug, Vg,
-                                  preferred_element_type=jnp.float32)
-                return acc + jnp.sum(m_c * (v_c - pred) ** 2), None
+        def body(acc, xs):
+            i_c, v_c, m_c = xs
+            Vg = jnp.take(V, i_c, axis=0)
+            pred = jnp.einsum("bk,bpk->bp", Ug, Vg,
+                              preferred_element_type=jnp.float32)
+            return acc + jnp.sum(m_c * (v_c - pred) ** 2), None
 
-            from recommendation_models_tpu.utils.compat import match_vma
-            init = match_vma(jnp.zeros((), jnp.float32), (U, V, idx, val))
-            part, _ = jax.lax.scan(body, init, (idx_c, val_c, msk_c))
-            total = total + part
+        init = match_vma(jnp.zeros((), jnp.float32), (U, V, idx_b))
+        part, _ = jax.lax.scan(body, init, (idx_c, val_c, msk_c))
+        return part
+
+    for b in buckets:
+        idx, val, msk, rid = b["indices"], b["values"], b["mask"], b["row_ids"]
+        bsz, p = idx.shape
+        bb = max(8, (gather_budget_mb * (1 << 20))
+                 // (min(p, chunk) * k * 4) // 8 * 8)
+        if bsz <= bb:
+            total = total + block_sse(rid, idx, val, msk)
+            continue
+        n_bb = -(-bsz // bb)
+        pad = n_bb * bb - bsz
+        idx_s = jnp.pad(idx, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+        val_s = jnp.pad(val, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+        msk_s = jnp.pad(msk, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+        rid_s = jnp.pad(rid, (0, pad), constant_values=U.shape[0]
+                        ).reshape(n_bb, bb)
+
+        def outer(acc, xs):
+            rid_b, idx_b, val_b, msk_b = xs
+            return acc + block_sse(rid_b, idx_b, val_b, msk_b), None
+
+        init = match_vma(jnp.zeros((), jnp.float32), (U, V, idx))
+        part, _ = jax.lax.scan(outer, init, (rid_s, idx_s, val_s, msk_s))
+        total = total + part
     return total
 
 

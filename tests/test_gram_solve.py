@@ -122,3 +122,70 @@ def test_half_sweep_fused_sse_matches_masked_sse(rng):
     sse_ref = masked_sse(U2, V2, ub)
     np.testing.assert_allclose(float(sse_fused), float(sse_ref),
                                rtol=1e-3, atol=1e-2)
+
+
+def test_whale_split_half_sweep_matches_dense(rng):
+    """A row split into segments (max_bucket < degree) must solve to exactly
+    the same normal-equations solution as the unsplit dense computation."""
+    import jax.numpy as jnp
+    from recommendation_models_tpu.config import DataConfig, SolveConfig
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    from recommendation_models_tpu.solver.als_sweep import (
+        device_buckets, half_sweep)
+
+    n_users, n_items, k = 5, 200, 6
+    # user 0 is a whale: rates 150 items; others rate a few
+    rows = np.concatenate([np.zeros(150, np.int64),
+                           np.repeat(np.arange(1, n_users), 4)])
+    cols = np.concatenate([np.arange(150),
+                           rng.integers(150, n_items, 4 * (n_users - 1))])
+    vals = rng.uniform(1, 5, rows.shape[0]).astype(np.float32)
+    layout = layout_from_coo(rows, cols, vals, n_users, n_items,
+                             config=DataConfig(max_bucket=32))
+    assert max(b.pad for b in layout.buckets) <= 32
+    V = jnp.asarray(rng.standard_normal((n_items, k)), jnp.float32)
+    cfg = SolveConfig(rank=k, reg=0.1, solver="xla",
+                      compute_dtype="float32")
+    U = np.asarray(half_sweep(V, device_buckets(layout), n_users, cfg))
+
+    Vh = np.asarray(V, np.float64)
+    for u in range(n_users):
+        idx = cols[rows == u]
+        r = vals[rows == u].astype(np.float64)
+        G = Vh[idx].T @ Vh[idx] + 0.1 * np.eye(k)
+        x = np.linalg.solve(G, Vh[idx].T @ r)
+        np.testing.assert_allclose(U[u], x, rtol=2e-4, atol=2e-4)
+
+
+def test_row_blocked_accumulation_matches_unblocked(rng):
+    """The gather-budget row-block scan must produce identical normal
+    equations to the single-shot path (exercises the big-bucket branch that
+    only triggers at scale otherwise)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from recommendation_models_tpu.config import SolveConfig
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    from recommendation_models_tpu.solver.als_sweep import (
+        device_buckets, half_sweep)
+
+    n_users, n_items, k = 64, 50, 5
+    rows = np.repeat(np.arange(n_users), 12)
+    cols = rng.integers(0, n_items, rows.shape[0]).astype(np.int64)
+    # dedup per row
+    keep = np.ones(rows.shape[0], bool)
+    seen = set()
+    for i, (r, c) in enumerate(zip(rows, cols)):
+        keep[i] = (r, c) not in seen
+        seen.add((r, c))
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.uniform(1, 5, rows.shape[0]).astype(np.float32)
+    layout = layout_from_coo(rows, cols, vals, n_users, n_items)
+    ub = device_buckets(layout)
+    V = jnp.asarray(rng.standard_normal((n_items, k)), jnp.float32)
+    big = SolveConfig(rank=k, reg=0.1, solver="xla", compute_dtype="float32")
+    # gather_budget_mb=0 forces bb=8 -> every bucket takes the scan branch
+    tiny = dataclasses.replace(big, gather_budget_mb=0)
+    np.testing.assert_allclose(
+        np.asarray(half_sweep(V, ub, n_users, big)),
+        np.asarray(half_sweep(V, ub, n_users, tiny)),
+        rtol=1e-5, atol=1e-5)

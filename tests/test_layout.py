@@ -47,14 +47,22 @@ def test_bucket_shapes_are_padded_pow2():
         assert (degs <= b.pad).all()
 
 
-def test_whale_rows_use_max_bucket_multiples():
-    # one row with degree 300, max_bucket 64 -> pad 320
+def test_whale_rows_split_into_segments():
+    # one row with degree 300, max_bucket 64 -> ceil(300/64) = 5 segments
+    # (4 full at pad 64, one of degree 44 at pad 64), all with row id 0,
+    # covering every observation exactly once.
     rows = np.zeros(300, np.int64)
     cols = np.arange(300)
-    vals = np.ones(300, np.float32)
+    vals = np.arange(300).astype(np.float32)
     cfg = DataConfig(max_bucket=64)
     layout = layout_from_coo(rows, cols, vals, 1, 300, config=cfg)
-    assert layout.buckets[0].pad == 320
+    assert all(b.pad <= 64 for b in layout.buckets)
+    seg_rows = np.concatenate([b.row_ids[b.row_ids < 1]
+                               for b in layout.buckets])
+    assert seg_rows.shape[0] == 5 and (seg_rows == 0).all()
+    got = np.concatenate([b.values[b.mask > 0].ravel()
+                          for b in layout.buckets])
+    np.testing.assert_array_equal(np.sort(got), vals)
 
 
 def test_empty_rows_kept():
