@@ -52,6 +52,93 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _cholesky_solve_kernel_panel(g_ref, rhs_ref, out_ref, a_ref, y_ref, x_ref,
+                                 c_ref, ct_ref):
+    """Panel-blocked variant: factor PW=8 columns at a time against small
+    scratch panel buffers, then apply ONE rank-8 trailing update — the full
+    (k, k, BT) array is read-modified-written k/8 times instead of k times
+    (the factorization is VMEM-bandwidth-bound, so this is ~the win).
+
+    Column p of the panel needs its row/column corrected by the panel's
+    earlier columns before normalization; those corrections are <=7 cheap
+    fmas on (k, 1, bt)/(1, k, bt) vectors served from the panel scratch
+    (c_ref (k, PW, bt) columns, ct_ref (PW, k, bt) rows), kept out of A
+    until the single trailing update. The panel loop is a fori_loop (NOT
+    unrolled over all k columns — full unrolling chokes the Mosaic
+    compiler); only the PW inner steps unroll. Substitutions are identical
+    to the rank-1 kernel.
+    """
+    a_ref[:] = g_ref[:]
+    k, _, bt = a_ref.shape
+    PW = c_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+
+    def panel_step(q, carry):
+        j0 = q * PW
+        for jj in range(PW):
+            j = j0 + jj
+            col = a_ref[:, pl.ds(j, 1), :]                    # (k, 1, bt)
+            row = a_ref[pl.ds(j, 1), :, :]                    # (1, k, bt)
+            for p in range(jj):
+                # deferred corrections from this panel's earlier columns
+                col = col - c_ref[:, p:p + 1, :] * ct_ref[p:p + 1,
+                                                          pl.ds(j, 1), :]
+                row = row - ct_ref[p:p + 1, :, :] * c_ref[pl.ds(j, 1),
+                                                          p:p + 1, :]
+            # diagonal element: col/row are values (no dynamic value
+            # slicing in Mosaic), so extract via a masked reduce of the
+            # corrected row (row[0, j] == col[j, 0] by residual symmetry)
+            diag = jnp.sum(jnp.where(cols == j, row, 0.0), axis=1,
+                           keepdims=True)                     # (1, 1, bt)
+            inv_s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+            c = jnp.where(rows > j, col * inv_s, 0.0)
+            ct = jnp.where(cols > j, row * inv_s, 0.0)
+            c_ref[:, jj:jj + 1, :] = jnp.reshape(c, (k, 1, bt))
+            ct_ref[jj:jj + 1, :, :] = jnp.reshape(ct, (1, k, bt))
+            a_ref[:, pl.ds(j, 1), :] = jnp.where(rows == j, diag * inv_s, c)
+        # one rank-PW read-modify-write pass; the already-written L columns
+        # of this panel must not be touched, so mask to the trailing block
+        trail = cols >= j0 + PW
+        upd = c_ref[:, 0:1, :] * jnp.where(trail, ct_ref[0:1, :, :], 0.0)
+        for p in range(1, PW):
+            upd = upd + c_ref[:, p:p + 1, :] * jnp.where(
+                trail, ct_ref[p:p + 1, :, :], 0.0)
+        a_ref[:] = a_ref[:] - upd
+        return carry
+
+    jax.lax.fori_loop(0, k // PW, panel_step, 0, unroll=False)
+
+    # ---- forward substitution: L y = rhs (y is (1, k, BT)) ----------------
+    y_ref[:] = jnp.zeros((1, k, bt), jnp.float32)
+
+    def fwd_step(j, carry):
+        row = a_ref[pl.ds(j, 1), :, :]
+        s = jnp.sum(row * y_ref[:], axis=1, keepdims=True)
+        d = a_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        rj = jnp.reshape(rhs_ref[pl.ds(j, 1), :], (1, 1, bt))
+        y_ref[:, pl.ds(j, 1), :] = (rj - s) / jnp.maximum(d, 1e-30)
+        return carry
+
+    jax.lax.fori_loop(0, k, fwd_step, 0, unroll=False)
+
+    # ---- backward substitution: L^T x = y (x is (k, 1, BT)) ---------------
+    x_ref[:] = jnp.zeros((k, 1, bt), jnp.float32)
+
+    def bwd_step(t, carry):
+        j = k - 1 - t
+        col = a_ref[:, pl.ds(j, 1), :]
+        s = jnp.sum(col * x_ref[:], axis=0, keepdims=True)
+        d = a_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        yj = y_ref[:, pl.ds(j, 1), :]
+        v = (yj - s) / jnp.maximum(d, 1e-30)
+        x_ref[pl.ds(j, 1), :, :] = v
+        out_ref[pl.ds(j, 1), :] = jnp.reshape(v, (1, bt))
+        return carry
+
+    jax.lax.fori_loop(0, k, bwd_step, 0, unroll=False)
+
+
 def _cholesky_solve_kernel(g_ref, rhs_ref, out_ref, a_ref, y_ref, x_ref):
     """One batch block: g (k, k, BT) SPD systems, rhs (k, BT) -> out (k, BT).
 
@@ -114,9 +201,10 @@ def _cholesky_solve_kernel(g_ref, rhs_ref, out_ref, a_ref, y_ref, x_ref):
     jax.lax.fori_loop(0, k, bwd_step, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "panel"))
 def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      panel: bool = True) -> jnp.ndarray:
     """Batch-minor entry: Gt (k, k, B), rhst (k, B) -> x (k, B).
 
     B must already be a multiple of the block size.
@@ -133,7 +221,7 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
     else:
         out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
     return pl.pallas_call(
-        _cholesky_solve_kernel,
+        _cholesky_solve_kernel_panel if panel else _cholesky_solve_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((k, k, bt), lambda i: (0, 0, i),
@@ -148,7 +236,10 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
             pltpu.VMEM((k, k, bt), jnp.float32),
             pltpu.VMEM((1, k, bt), jnp.float32),
             pltpu.VMEM((k, 1, bt), jnp.float32),
-        ],
+        ] + ([
+            pltpu.VMEM((k, 8, bt), jnp.float32),   # panel columns c
+            pltpu.VMEM((8, k, bt), jnp.float32),   # panel rows c^T
+        ] if panel else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -161,11 +252,18 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
     )(Gt, rhst)
 
 
-def cholesky_solve(G: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+def cholesky_solve(G: jnp.ndarray, rhs: jnp.ndarray,
+                   panel: bool = False) -> jnp.ndarray:
     """Solve ``G x = rhs`` for a batch of SPD systems via one fused kernel.
 
     G: (B, k, k) float32 (ridge already added), rhs: (B, k) -> x: (B, k).
     Drop-in replacement for the 'xla' path in ``ops.solve.solve_spd``.
+
+    ``panel=True`` selects the rank-8 panel factorization. Measured on v5e
+    it is ~1.5x SLOWER than the rank-1 kernel (5.3 vs 3.6 ms at B=8192,
+    k=64): the factorization is not VMEM-bandwidth-bound, so the saved
+    read-modify-write passes don't pay for the extra masked reduces and
+    panel-scratch traffic. Kept as an option/reference.
     """
     b, k, _ = G.shape
     interpret = _use_interpret()
@@ -187,7 +285,7 @@ def cholesky_solve(G: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
         Gt = Gt + eye[:, :, None] * (jnp.arange(bp) >= b)[None, None, :]
         rhst = jnp.pad(rhst, ((0, 0), (0, bp - b)))
 
-    x = _cholesky_solve_t(Gt, rhst, interpret=interpret)
+    x = _cholesky_solve_t(Gt, rhst, interpret=interpret, panel=panel)
     return jnp.transpose(x[:k, :b], (1, 0))
 
 

@@ -67,3 +67,13 @@ def test_auto_resolves_off_tpu():
     # conftest pins default_device=cpu, so auto must pick the XLA anchor.
     assert resolve_solver("auto") == "xla"
     assert resolve_solver("pallas") == "pallas"
+
+
+def test_panel_variant_matches(rng):
+    """The rank-8 panel factorization must agree with the rank-1 kernel."""
+    G = jnp.asarray(_random_spd(rng, 24, 40))
+    rhs = jnp.asarray(rng.standard_normal((24, 40)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(cholesky_solve(G, rhs, panel=True)),
+        np.asarray(cholesky_solve(G, rhs, panel=False)),
+        rtol=2e-4, atol=2e-4)
