@@ -204,7 +204,11 @@ def main() -> None:
           f"item={item_layout.padding_waste():.2%}, {t_data:.1f}s",
           file=sys.stderr)
 
+    # BENCH_ALPHA=<float> switches to the confidence-weighted implicit
+    # objective (BASELINE.md config 2)
+    alpha = os.environ.get("BENCH_ALPHA")
     cfg = SolveConfig(rank=rank, reg=0.1, solver=solver,
+                      alpha=float(alpha) if alpha else None,
                       compute_dtype=compute_dtype)
     ub = device_buckets(user_layout)
     ib = device_buckets(item_layout)
@@ -250,8 +254,11 @@ def main() -> None:
     print(f"# oracle: {oracle_rows_per_sec:.1f} rows/s over {sample_rows} rows",
           file=sys.stderr)
 
+    obj = "implicit" if alpha else "explicit"
     print(json.dumps({
-        "metric": f"als_rows_solved_per_sec_per_chip_rank{rank}_{scale}_synth",
+        "metric": f"als_{obj}_rows_solved_per_sec_per_chip_rank{rank}_{scale}_synth"
+        if alpha else
+        f"als_rows_solved_per_sec_per_chip_rank{rank}_{scale}_synth",
         "value": round(rows_per_sec, 1),
         "unit": "rows/s/chip",
         "vs_baseline": round(rows_per_sec / oracle_rows_per_sec, 2),
