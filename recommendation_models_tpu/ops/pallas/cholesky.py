@@ -33,14 +33,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _block_batch(k: int) -> int:
+def block_batch(k: int) -> int:
     """Batch block size: keep the (k, k, BT) scratch + double-buffered input
-    inside ~12 MB of VMEM while holding the 128-lane dim full when we can."""
-    if k <= 32:
+    inside ~12 MB of VMEM while holding the 128-lane dim full when we can.
+    Callers that pre-pad their batch to this multiple skip a whole-array
+    pad+copy in the wrapper."""
+    kp = -(-k // 8) * 8
+    if kp <= 32:
         return 512
-    if k <= 64:
+    if kp <= 64:
         return 256
     return 128
+
+
+_block_batch = block_batch
 
 
 def _use_interpret() -> bool:
@@ -252,6 +258,30 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
     )(Gt, rhst)
 
 
+def cholesky_solve_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
+                        panel: bool = False) -> jnp.ndarray:
+    """Like :func:`cholesky_solve` but takes the systems FLAT: G_flat
+    (B, k*k) row-major. The flat form has no XLA tile padding (a (B, k, k)
+    f32 array pads its minor k dim up to 128 lanes — 2x memory for k=64),
+    and transposing (B, k*k) -> (k*k, B) then reshaping to the kernel's
+    batch-minor (k, k, B) is free of padded intermediates. Requires k % 8
+    == 0 (else fall back to the shaped API)."""
+    b = G_flat.shape[0]
+    assert k % 8 == 0, "flat path requires sublane-aligned k"
+    interpret = _use_interpret()
+    bt = _block_batch(k)
+    bp = -(-b // bt) * bt
+    Gt = jnp.transpose(G_flat, (1, 0)).reshape(k, k, b)
+    rhst = jnp.transpose(rhs, (1, 0)).astype(jnp.float32)
+    if bp != b:
+        eye = jnp.eye(k, dtype=jnp.float32)
+        Gt = jnp.pad(Gt, ((0, 0), (0, 0), (0, bp - b)))
+        Gt = Gt + eye[:, :, None] * (jnp.arange(bp) >= b)[None, None, :]
+        rhst = jnp.pad(rhst, ((0, 0), (0, bp - b)))
+    x = _cholesky_solve_t(Gt, rhst, interpret=interpret, panel=panel)
+    return jnp.transpose(x[:, :b], (1, 0))
+
+
 def cholesky_solve(G: jnp.ndarray, rhs: jnp.ndarray,
                    panel: bool = False) -> jnp.ndarray:
     """Solve ``G x = rhs`` for a batch of SPD systems via one fused kernel.
@@ -289,4 +319,4 @@ def cholesky_solve(G: jnp.ndarray, rhs: jnp.ndarray,
     return jnp.transpose(x[:k, :b], (1, 0))
 
 
-__all__ = ["cholesky_solve"]
+__all__ = ["cholesky_solve", "cholesky_solve_flat", "block_batch"]

@@ -70,4 +70,29 @@ def solve_spd(G: jnp.ndarray, rhs: jnp.ndarray, solver: str = "xla") -> jnp.ndar
     return x[..., 0]
 
 
-__all__ = ["solve_spd", "add_ridge", "resolve_solver", "resolve_compute_dtype"]
+def solve_spd_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
+                   solver: str = "auto") -> jnp.ndarray:
+    """Solve with FLAT (B, k*k) row-major systems — avoids the 2x XLA tile
+    padding a big (B, k, k) f32 array pays when k < 128 lanes. The Pallas
+    path stays padding-free end to end; other paths reshape (small inputs
+    only — CPU tests / fallbacks)."""
+    solver = resolve_solver(solver)
+    if solver == "pallas" and k % 8 == 0:
+        from recommendation_models_tpu.ops.pallas.cholesky import (
+            cholesky_solve_flat)
+        return cholesky_solve_flat(G_flat, rhs, k)
+    b = G_flat.shape[0]
+    return solve_spd(G_flat.reshape(b, k, k), rhs, solver)
+
+
+def flat_ridge(G_flat: jnp.ndarray, k: int, reg, degrees=None) -> jnp.ndarray:
+    """add_ridge on flat (B, k*k) systems."""
+    eye_flat = jnp.eye(k, dtype=G_flat.dtype).reshape(-1)
+    if degrees is None:
+        return G_flat + reg * eye_flat
+    scale = reg * jnp.maximum(degrees, 1.0)
+    return G_flat + scale[:, None] * eye_flat
+
+
+__all__ = ["solve_spd", "solve_spd_flat", "add_ridge", "flat_ridge",
+           "resolve_solver", "resolve_compute_dtype"]

@@ -26,7 +26,7 @@ from recommendation_models_tpu.config import SolveConfig
 from recommendation_models_tpu.data.layout import PaddedLayout
 from recommendation_models_tpu.ops.gram import gram_rhs, objective_weights
 from recommendation_models_tpu.ops.solve import (
-    add_ridge, resolve_compute_dtype, solve_spd,
+    flat_ridge, resolve_compute_dtype, solve_spd_flat,
 )
 from recommendation_models_tpu.utils.compat import match_vma
 
@@ -63,9 +63,19 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
     """
     k = V.shape[-1]
     dtype = jnp.dtype(resolve_compute_dtype(cfg.compute_dtype))
-    G_dense = jnp.zeros((n_rows, k, k), jnp.float32)
-    rhs_dense = jnp.zeros((n_rows, k), jnp.float32)
-    deg_dense = jnp.zeros((n_rows,), jnp.float32) if cfg.reg_by_degree else None
+    # The dense per-row systems are kept FLAT (n_solve, k*k): a (n, k, k)
+    # f32 array pads its minor k dim to the 128-lane tile (2x memory at
+    # k=64 — an HBM OOM at the 100M-interaction scale); the flat form pads
+    # nothing and converts to the kernel's batch-minor layout for free.
+    # n_solve is pre-rounded to the kernel's batch-block multiple so the
+    # solve wrapper never copies the whole array to pad it; extra rows get
+    # zero normal equations (their sentinel scatter contributions carry
+    # weight 0) and solve to exactly 0 against the ridge.
+    from recommendation_models_tpu.ops.pallas.cholesky import block_batch
+    n_solve = -(-max(n_rows, 1) // block_batch(k)) * block_batch(k)
+    G_dense = jnp.zeros((n_solve, k * k), jnp.float32)
+    rhs_dense = jnp.zeros((n_solve, k), jnp.float32)
+    deg_dense = jnp.zeros((n_solve,), jnp.float32) if cfg.reg_by_degree else None
     r2 = jnp.zeros((), jnp.float32)
     for bucket in buckets:
         wg, wr = objective_weights(bucket["values"], bucket["mask"], cfg.alpha)
@@ -79,7 +89,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         if b <= bb:
             G, rhs = gram_rhs(V, bucket["indices"], wg, wr,
                               chunk=cfg.chunk, compute_dtype=dtype)
-            G_dense = G_dense.at[rid].add(G, mode="drop")
+            G_dense = G_dense.at[rid].add(G.reshape(b, k * k), mode="drop")
             rhs_dense = rhs_dense.at[rid].add(rhs, mode="drop")
         else:
             n_bb = -(-b // bb)
@@ -88,7 +98,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
                             ).reshape(n_bb, bb, p)
             wg_s = jnp.pad(wg, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
             wr_s = jnp.pad(wr, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
-            rid_s = jnp.pad(rid, (0, pad), constant_values=n_rows
+            rid_s = jnp.pad(rid, (0, pad), constant_values=n_solve
                             ).reshape(n_bb, bb)
 
             def body(carry, xs):
@@ -96,7 +106,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
                 idx_b, wg_b, wr_b, rid_b = xs
                 G, rhs = gram_rhs(V, idx_b, wg_b, wr_b,
                                   chunk=cfg.chunk, compute_dtype=dtype)
-                return (Gd.at[rid_b].add(G, mode="drop"),
+                return (Gd.at[rid_b].add(G.reshape(bb, k * k), mode="drop"),
                         rd.at[rid_b].add(rhs, mode="drop")), None
 
             init = match_vma((G_dense, rhs_dense), (V, bucket["indices"]))
@@ -108,20 +118,22 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         if with_sse:
             r2 = r2 + jnp.sum(bucket["mask"] * bucket["values"] ** 2)
     if g0 is not None:
-        G_dense = G_dense + g0
-    x = solve_spd(add_ridge(G_dense, cfg.reg, deg_dense), rhs_dense,
-                  cfg.solver)
+        G_dense = G_dense + g0.reshape(-1)
+    x = solve_spd_flat(flat_ridge(G_dense, k, cfg.reg, deg_dense), rhs_dense,
+                       k, cfg.solver)
     if not with_sse:
-        return x, None
+        return x[:n_rows], None
     # Explicit-objective residual, free from the solve's own quantities:
     # sse_row = sum w r^2 - 2 x.rhs + x^T (G - ridge) x. Summed over the
     # *item* half-sweep's rows this equals masked_sse(U_new, V_new) (tested)
-    # — replaces a whole extra gather/einsum eval pass.
-    gx = jnp.einsum("bkl,bl->bk", G_dense, x,
+    # — replaces a whole extra gather/einsum eval pass. The quadratic term
+    # runs on the padding-free (k, k, n) transpose.
+    Gt = jnp.transpose(G_dense, (1, 0)).reshape(k, k, n_solve)
+    gx = jnp.einsum("klb,lb->kb", Gt, x.T,
                     preferred_element_type=jnp.float32)
-    sse = r2 + jnp.einsum("bk,bk->", x, gx - 2.0 * rhs_dense,
+    sse = r2 + jnp.einsum("kb,kb->", x.T, gx - 2.0 * rhs_dense.T,
                           preferred_element_type=jnp.float32)
-    return x, sse
+    return x[:n_rows], sse
 
 
 def half_sweep(
