@@ -67,6 +67,11 @@ class DataConfig:
     # max_bucket (gram additivity), keeping every padded block MXU-batchable.
     min_bucket: int = 8
     max_bucket: int = 4096
+    # Bucket sizes grow geometrically by this ratio (rounded to multiples of
+    # 8). 2.0 = powers of two; smaller ratios trade more compiled bucket
+    # shapes for less padding waste (1.25 cut ML-1M user-side waste from
+    # 17% to 11% and ML-25M user-side from 19% to ~8%).
+    bucket_growth: float = 1.25
     # Pad each bucket's row count to a multiple of this (sublane alignment).
     row_multiple: int = 8
     # Cap on padding blowup before a row is split across chunks internally.

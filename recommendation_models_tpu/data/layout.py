@@ -134,11 +134,18 @@ def build_layout(
     seg_deg = np.clip(degrees[seg_row] - seg_off * S, 0, S)
     seg_start = indptr[seg_row] + seg_off * S
 
-    # Padded size per segment -> bucket key (always <= S now).
-    pads = np.full(seg_row.shape[0], cfg.min_bucket, dtype=np.int64)
-    mid = seg_deg > cfg.min_bucket
-    if mid.any():
-        pads[mid] = 1 << np.ceil(np.log2(seg_deg[mid])).astype(np.int64)
+    # Padded size per segment -> bucket key (always <= S now). Bucket sizes
+    # form a geometric grid (ratio cfg.bucket_growth, 8-aligned) between
+    # min_bucket and S: finer-than-pow2 grids cut padding waste on
+    # heavy-tailed degree distributions at the cost of a few more compiled
+    # bucket shapes.
+    growth = max(float(getattr(cfg, "bucket_growth", 2.0)), 1.05)
+    grid = [int(cfg.min_bucket)]
+    while grid[-1] < S:
+        nxt = max(int(np.ceil(grid[-1] * growth / 8.0)) * 8, grid[-1] + 8)
+        grid.append(min(nxt, S))
+    grid = np.asarray(grid, dtype=np.int64)
+    pads = grid[np.searchsorted(grid, seg_deg)]
 
     buckets = []
     for pad in np.unique(pads):
