@@ -82,6 +82,32 @@ class ALS(BaseEstimator):
         self.verbose = verbose
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_configs(cls, solve=None, mesh=None, data=None, fit=None):
+        """Build an estimator from the frozen config dataclasses
+        (SURVEY.md §5 'Config / flag system': the sklearn kwargs surface is
+        the user API; these are the structured layer beneath, used by batch
+        entry points)."""
+        from recommendation_models_tpu.config import (
+            DataConfig, FitConfig, MeshConfig,
+        )
+        solve = solve or SolveConfig()
+        mesh = mesh or MeshConfig()
+        data = data or DataConfig()
+        fit = fit or FitConfig()
+        return cls(
+            rank=solve.rank, reg=solve.reg, alpha=solve.alpha,
+            reg_by_degree=solve.reg_by_degree, solver=solve.solver,
+            chunk=solve.chunk, compute_dtype=solve.compute_dtype,
+            n_shards=mesh.n_shards, exchange=mesh.exchange,
+            platform=mesh.platform,
+            min_bucket=data.min_bucket, max_bucket=data.max_bucket,
+            n_sweeps=fit.n_sweeps, tol=fit.tol, seed=fit.seed,
+            init_scale=fit.init_scale,
+            checkpoint_dir=fit.checkpoint_dir,
+            checkpoint_every=fit.checkpoint_every,
+        )
+
     def _solve_config(self) -> SolveConfig:
         return SolveConfig(
             rank=self.rank, reg=self.reg, reg_by_degree=self.reg_by_degree,
@@ -230,6 +256,15 @@ class ALS(BaseEstimator):
         return step
 
     # ------------------------------------------------------------------
+    def __getstate__(self):
+        """Picklable fitted estimator (the reference's persistence story —
+        SURVEY.md §5 checkpoint row: 'at most pickling the fitted
+        estimator'). Compiled sharded programs hold device handles and are
+        rebuilt on the next fit, so they're dropped."""
+        state = dict(self.__dict__)
+        state.pop("_sharded_program", None)
+        return state
+
     def _check_fitted(self):
         if not hasattr(self, "U_"):
             raise RuntimeError("this ALS instance is not fitted yet")

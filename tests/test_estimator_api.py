@@ -84,3 +84,31 @@ def test_gridsearch_compatible():
         if s > best_score:
             best, best_score = reg, s
     assert best is not None
+
+
+def test_from_configs_roundtrip():
+    from recommendation_models_tpu.config import (DataConfig, FitConfig,
+                                                  MeshConfig, SolveConfig)
+    m = ALS.from_configs(
+        solve=SolveConfig(rank=7, reg=0.25, alpha=1.5),
+        mesh=MeshConfig(n_shards=2, exchange="all_to_all", platform="cpu"),
+        data=DataConfig(max_bucket=128),
+        fit=FitConfig(n_sweeps=3, seed=9))
+    p = m.get_params()
+    assert (p["rank"], p["reg"], p["alpha"]) == (7, 0.25, 1.5)
+    assert (p["n_shards"], p["exchange"]) == (2, "all_to_all")
+    assert (p["max_bucket"], p["n_sweeps"], p["seed"]) == (128, 3, 9)
+
+
+def test_pickle_fitted_roundtrip():
+    import pickle
+    from tests.conftest import tiny_problem
+    R = tiny_problem(20, 15, seed=5)
+    m = ALS(rank=4, n_sweeps=2, seed=0).fit(R)
+    m2 = pickle.loads(pickle.dumps(m))
+    np.testing.assert_array_equal(m2.U_, m.U_)
+    np.testing.assert_array_equal(m2.predict([[0, 1]]), m.predict([[0, 1]]))
+    # sharded fit holds a compiled program -> must still pickle
+    ms = ALS(rank=4, n_sweeps=2, n_shards=4, platform="cpu", seed=0).fit(R)
+    ms2 = pickle.loads(pickle.dumps(ms))
+    np.testing.assert_array_equal(ms2.V_, ms.V_)
