@@ -1,0 +1,86 @@
+"""Packed on-disk layout cache (SURVEY.md §7 hard part 6).
+
+At ML-25M/100M scale the bucketed padded layout costs minutes of host
+preprocessing; production runs should pay it once. `save_layout` packs a
+PaddedLayout into one compressed-free `.npz` (memmap-friendly: arrays are
+stored uncompressed so `np.load(mmap_mode='r')` can lazily map the big
+index/value blocks); `load_layout` restores it, and `cached_layout` wraps a
+builder with an mtime-checked cache file.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from recommendation_models_tpu.data.layout import Bucket, PaddedLayout
+
+_FORMAT_VERSION = 1
+
+
+def save_layout(path: str, layout: PaddedLayout) -> str:
+    """Pack a PaddedLayout into one uncompressed .npz at `path`."""
+    arrays = {
+        "meta": np.asarray([_FORMAT_VERSION, layout.n_rows, layout.n_cols,
+                            layout.nnz, len(layout.buckets)], np.int64),
+        "pads": np.asarray([b.pad for b in layout.buckets], np.int64),
+    }
+    for i, b in enumerate(layout.buckets):
+        arrays[f"rid_{i}"] = b.row_ids
+        arrays[f"idx_{i}"] = b.indices
+        arrays[f"val_{i}"] = b.values
+        arrays[f"msk_{i}"] = b.mask.astype(np.uint8)  # 4x smaller on disk
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+    return path
+
+
+def load_layout(path: str, mmap: bool = False) -> PaddedLayout:
+    """Restore a PaddedLayout packed by `save_layout`.
+
+    With ``mmap=True`` the npz members are materialized lazily per bucket
+    (np.load keeps the zip handle; members are decompressed-on-read — they
+    are stored uncompressed so this is a straight copy).
+    """
+    z = np.load(path, mmap_mode="r" if mmap else None)
+    version, n_rows, n_cols, nnz, n_buckets = [int(v) for v in z["meta"]]
+    if version != _FORMAT_VERSION:
+        raise ValueError(f"layout cache version {version} != {_FORMAT_VERSION}")
+    pads = z["pads"]
+    buckets = tuple(
+        Bucket(pad=int(pads[i]),
+               row_ids=np.asarray(z[f"rid_{i}"]),
+               indices=np.asarray(z[f"idx_{i}"]),
+               values=np.asarray(z[f"val_{i}"]),
+               mask=np.asarray(z[f"msk_{i}"]).astype(np.float32))
+        for i in range(n_buckets))
+    return PaddedLayout(n_rows=n_rows, n_cols=n_cols, nnz=nnz,
+                        buckets=buckets)
+
+
+def cached_layout(path: Optional[str],
+                  build: Callable[[], PaddedLayout],
+                  source_mtime: Optional[float] = None) -> PaddedLayout:
+    """Load `path` if fresh, else build and save.
+
+    ``source_mtime``: invalidate the cache when the source data file is
+    newer. ``path=None`` just builds (no caching).
+    """
+    if path is None:
+        return build()
+    if os.path.exists(path) and (
+            source_mtime is None or os.path.getmtime(path) >= source_mtime):
+        try:
+            return load_layout(path)
+        except Exception:
+            pass  # corrupt/stale cache: rebuild
+    layout = build()
+    save_layout(path, layout)
+    return layout
+
+
+__all__ = ["save_layout", "load_layout", "cached_layout"]

@@ -59,6 +59,7 @@ class ALS(BaseEstimator):
         max_bucket: int = 4096,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
+        layout_cache: Optional[str] = None,
         verbose: int = 0,
     ):
         self.rank = rank
@@ -79,6 +80,7 @@ class ALS(BaseEstimator):
         self.max_bucket = max_bucket
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        self.layout_cache = layout_cache
         self.verbose = verbose
 
     # ------------------------------------------------------------------
@@ -118,6 +120,26 @@ class ALS(BaseEstimator):
     def _data_config(self) -> DataConfig:
         return DataConfig(min_bucket=self.min_bucket, max_bucket=self.max_bucket)
 
+    def _build_layouts(self, indptr, indices, data, n_users, n_items, dcfg):
+        """Both orientations' padded layouts, optionally through the packed
+        on-disk cache (SURVEY.md §7 hard part 6: bucket once, not per run)."""
+        from recommendation_models_tpu.data.layout_cache import cached_layout
+
+        def build_user():
+            return build_layout(indptr, indices, data, n_users, n_items, dcfg)
+
+        def build_item():
+            rows = np.repeat(np.arange(n_users), np.diff(indptr))
+            return layout_from_coo(rows, indices, data, n_users, n_items,
+                                   dcfg, transpose=True)
+
+        prefix = self.layout_cache
+        user_layout = cached_layout(
+            f"{prefix}.user.npz" if prefix else None, build_user)
+        item_layout = cached_layout(
+            f"{prefix}.item.npz" if prefix else None, build_item)
+        return user_layout, item_layout
+
     def _init_factors_host(self, n_users, n_items):
         key_u, key_v = jax.random.split(jax.random.PRNGKey(self.seed))
         U = self.init_scale * jax.random.normal(key_u, (n_users, self.rank))
@@ -146,11 +168,8 @@ class ALS(BaseEstimator):
         if n_shards is not None and n_shards > 1:
             return self._fit_sharded(indptr, indices, data, U0, V0, dcfg, scfg)
 
-        user_layout = build_layout(indptr, indices, data, n_users, n_items, dcfg)
-        # item-major orientation via COO transpose
-        rows = np.repeat(np.arange(n_users), np.diff(indptr))
-        item_layout = layout_from_coo(rows, indices, data, n_users, n_items,
-                                      dcfg, transpose=True)
+        user_layout, item_layout = self._build_layouts(
+            indptr, indices, data, n_users, n_items, dcfg)
         ub = device_buckets(user_layout)
         ib = device_buckets(item_layout)
 
@@ -197,14 +216,10 @@ class ALS(BaseEstimator):
         n_users, n_items = self.n_users_, self.n_items_
         nnz = indices.shape[0]
         mesh = get_mesh(self.n_shards, platform=self.platform)
-        user_layout = shard_layout(
-            build_layout(indptr, indices, data, n_users, n_items, dcfg),
-            self.n_shards)
-        rows = np.repeat(np.arange(n_users), np.diff(indptr))
-        item_layout = shard_layout(
-            layout_from_coo(rows, indices, data, n_users, n_items, dcfg,
-                            transpose=True),
-            self.n_shards)
+        ul, il = self._build_layouts(indptr, indices, data, n_users, n_items,
+                                     dcfg)
+        user_layout = shard_layout(ul, self.n_shards)
+        item_layout = shard_layout(il, self.n_shards)
         prog = ShardedALSProgram(user_layout, item_layout, mesh, scfg,
                                  exchange=self.exchange)
         self._sharded_program = prog

@@ -112,3 +112,16 @@ def test_pickle_fitted_roundtrip():
     ms = ALS(rank=4, n_sweeps=2, n_shards=4, platform="cpu", seed=0).fit(R)
     ms2 = pickle.loads(pickle.dumps(ms))
     np.testing.assert_array_equal(ms2.V_, ms.V_)
+
+
+def test_layout_cache_used_by_fit(tmp_path):
+    from tests.conftest import tiny_problem
+    R = tiny_problem(25, 18, seed=6)
+    prefix = str(tmp_path / "ml")
+    m1 = ALS(rank=3, n_sweeps=2, seed=0, layout_cache=prefix).fit(R)
+    import os
+    assert os.path.exists(prefix + ".user.npz")
+    assert os.path.exists(prefix + ".item.npz")
+    # second fit loads from cache, same result
+    m2 = ALS(rank=3, n_sweeps=2, seed=0, layout_cache=prefix).fit(R)
+    np.testing.assert_allclose(m1.U_, m2.U_, rtol=1e-6)

@@ -107,3 +107,31 @@ def test_padding_waste_reported():
     R = tiny_problem(100, 500, density=0.05, seed=5)
     layout = build_layout(R.indptr, R.indices, R.data, *R.shape)
     assert 0.0 <= layout.padding_waste() < 1.0
+
+
+def test_layout_cache_roundtrip(tmp_path):
+    from recommendation_models_tpu.data.layout_cache import (
+        cached_layout, load_layout, save_layout)
+    R = tiny_problem(40, 30, density=0.3, seed=7)
+    layout = build_layout(R.indptr, R.indices, R.data, *R.shape)
+    p = str(tmp_path / "layout.npz")
+    save_layout(p, layout)
+    back = load_layout(p)
+    assert (back.n_rows, back.n_cols, back.nnz) == (
+        layout.n_rows, layout.n_cols, layout.nnz)
+    assert len(back.buckets) == len(layout.buckets)
+    for a, b in zip(layout.buckets, back.buckets):
+        assert a.pad == b.pad
+        np.testing.assert_array_equal(a.row_ids, b.row_ids)
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_allclose(a.values, b.values)
+        np.testing.assert_array_equal(a.mask, b.mask)
+
+    calls = []
+    def build():
+        calls.append(1)
+        return layout
+    cached_layout(p, build)          # fresh cache -> no build
+    assert not calls
+    cached_layout(str(tmp_path / "other.npz"), build)   # missing -> builds
+    assert len(calls) == 1
