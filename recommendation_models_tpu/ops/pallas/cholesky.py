@@ -58,8 +58,8 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _cholesky_solve_kernel_panel(g_ref, rhs_ref, out_ref, a_ref, y_ref, x_ref,
-                                 c_ref, ct_ref):
+def _cholesky_solve_kernel_panel(g_ref, rhs_ref, reg_ref, out_ref, a_ref,
+                                 y_ref, x_ref, c_ref, ct_ref):
     """Panel-blocked variant: factor PW=8 columns at a time against small
     scratch panel buffers, then apply ONE rank-8 trailing update — the full
     (k, k, BT) array is read-modified-written k/8 times instead of k times
@@ -74,9 +74,11 @@ def _cholesky_solve_kernel_panel(g_ref, rhs_ref, out_ref, a_ref, y_ref, x_ref,
     compiler); only the PW inner steps unroll. Substitutions are identical
     to the rank-1 kernel.
     """
-    a_ref[:] = g_ref[:]
     k, _, bt = a_ref.shape
     PW = c_ref.shape[1]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
+    a_ref[:] = g_ref[:] + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None]
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
 
@@ -145,21 +147,27 @@ def _cholesky_solve_kernel_panel(g_ref, rhs_ref, out_ref, a_ref, y_ref, x_ref,
     jax.lax.fori_loop(0, k, bwd_step, 0, unroll=False)
 
 
-def _cholesky_solve_kernel(g_ref, rhs_ref, out_ref, a_ref, y_ref, x_ref):
-    """One batch block: g (k, k, BT) SPD systems, rhs (k, BT) -> out (k, BT).
+def _cholesky_solve_kernel(g_ref, rhs_ref, reg_ref, out_ref, a_ref, y_ref,
+                           x_ref):
+    """One batch block: g (k, k, BT) SPD systems, rhs (k, BT), per-system
+    ridge reg (1, BT) -> out (k, BT).
 
-    a_ref (k, k, BT) holds the in-place factorization; y_ref (1, k, BT) the
-    forward-substitution intermediate (dim1-major so the running inner
-    products need no relayouts); x_ref (k, 1, BT) the backward result
-    (dim0-major, same reason).
+    The ridge is added on load (``A = G + reg I``), fusing what would
+    otherwise be a whole-array read-modify-write pass in HBM before the
+    kernel. a_ref (k, k, BT) holds the in-place factorization; y_ref
+    (1, k, BT) the forward-substitution intermediate (dim1-major so the
+    running inner products need no relayouts); x_ref (k, 1, BT) the backward
+    result (dim0-major, same reason).
 
     Relayout-free trick: the unprocessed trailing block of A stays symmetric
     (full-square rank-1 updates preserve symmetry; column writes only zero
     the *processed* upper entries), so the transposed update vector c^T is
     read from row j instead of reshaping column j across sublanes.
     """
-    a_ref[:] = g_ref[:]
     k, _, bt = a_ref.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
+    a_ref[:] = g_ref[:] + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None]
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
 
@@ -208,10 +216,11 @@ def _cholesky_solve_kernel(g_ref, rhs_ref, out_ref, a_ref, y_ref, x_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "panel"))
-def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
+def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
                       interpret: bool = False,
                       panel: bool = True) -> jnp.ndarray:
-    """Batch-minor entry: Gt (k, k, B), rhst (k, B) -> x (k, B).
+    """Batch-minor entry: Gt (k, k, B) (ridge NOT yet added), rhst (k, B),
+    regv (1, B) per-system ridge -> x (k, B).
 
     B must already be a multiple of the block size.
     """
@@ -224,6 +233,8 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
     vma = vma | frozenset(getattr(jax.typeof(rhst), "vma", ()) or ())
     if vma:
         out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32, vma=vma)
+        regv = jax.lax.pcast(regv, tuple(vma), to="varying") \
+            if not getattr(jax.typeof(regv), "vma", None) else regv
     else:
         out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
     return pl.pallas_call(
@@ -233,6 +244,8 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
             pl.BlockSpec((k, k, bt), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k, bt), lambda i: (0, i),
@@ -255,17 +268,22 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
             transcendentals=k * b,
         ),
         interpret=interpret,
-    )(Gt, rhst)
+    )(Gt, rhst, regv)
 
 
 def cholesky_solve_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
-                        panel: bool = False) -> jnp.ndarray:
+                        reg_vec=None, panel: bool = False) -> jnp.ndarray:
     """Like :func:`cholesky_solve` but takes the systems FLAT: G_flat
     (B, k*k) row-major. The flat form has no XLA tile padding (a (B, k, k)
     f32 array pads its minor k dim up to 128 lanes — 2x memory for k=64),
     and transposing (B, k*k) -> (k*k, B) then reshaping to the kernel's
     batch-minor (k, k, B) is free of padded intermediates. Requires k % 8
-    == 0 (else fall back to the shaped API)."""
+    == 0 (else fall back to the shaped API).
+
+    ``reg_vec`` (B,) adds a per-system ridge INSIDE the kernel (fused with
+    the load — no extra whole-array pass). Pass systems already SPD (or a
+    positive reg_vec).
+    """
     b = G_flat.shape[0]
     assert k % 8 == 0, "flat path requires sublane-aligned k"
     interpret = _use_interpret()
@@ -273,12 +291,18 @@ def cholesky_solve_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
     bp = -(-b // bt) * bt
     Gt = jnp.transpose(G_flat, (1, 0)).reshape(k, k, b)
     rhst = jnp.transpose(rhs, (1, 0)).astype(jnp.float32)
+    if reg_vec is None:
+        regv = jnp.zeros((1, b), jnp.float32)
+    else:
+        regv = jnp.broadcast_to(
+            jnp.asarray(reg_vec, jnp.float32).reshape(1, b), (1, b))
     if bp != b:
         eye = jnp.eye(k, dtype=jnp.float32)
         Gt = jnp.pad(Gt, ((0, 0), (0, 0), (0, bp - b)))
         Gt = Gt + eye[:, :, None] * (jnp.arange(bp) >= b)[None, None, :]
         rhst = jnp.pad(rhst, ((0, 0), (0, bp - b)))
-    x = _cholesky_solve_t(Gt, rhst, interpret=interpret, panel=panel)
+        regv = jnp.pad(regv, ((0, 0), (0, bp - b)))
+    x = _cholesky_solve_t(Gt, rhst, regv, interpret=interpret, panel=panel)
     return jnp.transpose(x[:, :b], (1, 0))
 
 
@@ -315,7 +339,8 @@ def cholesky_solve(G: jnp.ndarray, rhs: jnp.ndarray,
         Gt = Gt + eye[:, :, None] * (jnp.arange(bp) >= b)[None, None, :]
         rhst = jnp.pad(rhst, ((0, 0), (0, bp - b)))
 
-    x = _cholesky_solve_t(Gt, rhst, interpret=interpret, panel=panel)
+    x = _cholesky_solve_t(Gt, rhst, jnp.zeros((1, bp), jnp.float32),
+                          interpret=interpret, panel=panel)
     return jnp.transpose(x[:k, :b], (1, 0))
 
 

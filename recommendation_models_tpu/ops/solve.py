@@ -71,16 +71,22 @@ def solve_spd(G: jnp.ndarray, rhs: jnp.ndarray, solver: str = "xla") -> jnp.ndar
 
 
 def solve_spd_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
-                   solver: str = "auto") -> jnp.ndarray:
+                   solver: str = "auto", reg_vec=None) -> jnp.ndarray:
     """Solve with FLAT (B, k*k) row-major systems — avoids the 2x XLA tile
     padding a big (B, k, k) f32 array pays when k < 128 lanes. The Pallas
     path stays padding-free end to end; other paths reshape (small inputs
-    only — CPU tests / fallbacks)."""
+    only — CPU tests / fallbacks).
+
+    ``reg_vec`` (B,): per-system ridge, applied inside the Pallas kernel
+    (fused with the load) or via flat_ridge on the fallback paths."""
     solver = resolve_solver(solver)
     if solver == "pallas" and k % 8 == 0:
         from recommendation_models_tpu.ops.pallas.cholesky import (
             cholesky_solve_flat)
-        return cholesky_solve_flat(G_flat, rhs, k)
+        return cholesky_solve_flat(G_flat, rhs, k, reg_vec=reg_vec)
+    if reg_vec is not None:
+        G_flat = G_flat + (jnp.asarray(reg_vec, G_flat.dtype)[:, None]
+                           * jnp.eye(k, dtype=G_flat.dtype).reshape(-1))
     b = G_flat.shape[0]
     return solve_spd(G_flat.reshape(b, k, k), rhs, solver)
 

@@ -26,7 +26,7 @@ from recommendation_models_tpu.config import SolveConfig
 from recommendation_models_tpu.data.layout import PaddedLayout
 from recommendation_models_tpu.ops.gram import gram_rhs, objective_weights
 from recommendation_models_tpu.ops.solve import (
-    flat_ridge, resolve_compute_dtype, solve_spd_flat,
+    resolve_compute_dtype, solve_spd_flat,
 )
 from recommendation_models_tpu.utils.compat import match_vma
 
@@ -119,20 +119,24 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
             r2 = r2 + jnp.sum(bucket["mask"] * bucket["values"] ** 2)
     if g0 is not None:
         G_dense = G_dense + g0.reshape(-1)
-    x = solve_spd_flat(flat_ridge(G_dense, k, cfg.reg, deg_dense), rhs_dense,
-                       k, cfg.solver)
+    if deg_dense is not None:
+        reg_vec = cfg.reg * jnp.maximum(deg_dense, 1.0)
+    else:
+        reg_vec = jnp.full((n_solve,), cfg.reg, jnp.float32)
+    x = solve_spd_flat(G_dense, rhs_dense, k, cfg.solver, reg_vec=reg_vec)
     if not with_sse:
         return x[:n_rows], None
     # Explicit-objective residual, free from the solve's own quantities:
-    # sse_row = sum w r^2 - 2 x.rhs + x^T (G - ridge) x. Summed over the
-    # *item* half-sweep's rows this equals masked_sse(U_new, V_new) (tested)
-    # — replaces a whole extra gather/einsum eval pass. The quadratic term
-    # runs on the padding-free (k, k, n) transpose.
-    Gt = jnp.transpose(G_dense, (1, 0)).reshape(k, k, n_solve)
-    gx = jnp.einsum("klb,lb->kb", Gt, x.T,
+    # sse_row = sum w r^2 - 2 x.rhs + x^T G x, and since the solver gives
+    # (G + reg I) x = rhs exactly, x^T G x = x.rhs - reg ||x||^2 — the whole
+    # quadratic term collapses to dot products over (n, k): no G transpose,
+    # no (n, k, k) einsum. Summed over the *item* half-sweep's rows this
+    # equals masked_sse(U_new, V_new) (tested).
+    xr = jnp.einsum("bk,bk->", x, rhs_dense,
                     preferred_element_type=jnp.float32)
-    sse = r2 + jnp.einsum("kb,kb->", x.T, gx - 2.0 * rhs_dense.T,
-                          preferred_element_type=jnp.float32)
+    xx = jnp.einsum("b,bk,bk->", reg_vec, x, x,
+                    preferred_element_type=jnp.float32)
+    sse = r2 - xr - xx
     return x[:n_rows], sse
 
 
