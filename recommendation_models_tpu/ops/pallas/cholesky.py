@@ -78,7 +78,9 @@ def _cholesky_solve_kernel_panel(g_ref, rhs_ref, reg_ref, out_ref, a_ref,
     PW = c_ref.shape[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
-    a_ref[:] = g_ref[:] + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None]
+    # G may arrive bf16 (half the HBM read); factorization is f32 in VMEM
+    a_ref[:] = (g_ref[:].astype(jnp.float32)
+                + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
 
@@ -167,7 +169,9 @@ def _cholesky_solve_kernel(g_ref, rhs_ref, reg_ref, out_ref, a_ref, y_ref,
     k, _, bt = a_ref.shape
     ri = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
-    a_ref[:] = g_ref[:] + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None]
+    # G may arrive bf16 (half the HBM read); factorization is f32 in VMEM
+    a_ref[:] = (g_ref[:].astype(jnp.float32)
+                + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
 
@@ -297,9 +301,10 @@ def cholesky_solve_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
         regv = jnp.broadcast_to(
             jnp.asarray(reg_vec, jnp.float32).reshape(1, b), (1, b))
     if bp != b:
-        eye = jnp.eye(k, dtype=jnp.float32)
+        eye = jnp.eye(k, dtype=Gt.dtype)
         Gt = jnp.pad(Gt, ((0, 0), (0, 0), (0, bp - b)))
-        Gt = Gt + eye[:, :, None] * (jnp.arange(bp) >= b)[None, None, :]
+        Gt = Gt + eye[:, :, None] * (jnp.arange(bp) >= b)[None, None, :
+                                                          ].astype(Gt.dtype)
         rhst = jnp.pad(rhst, ((0, 0), (0, bp - b)))
         regv = jnp.pad(regv, ((0, 0), (0, bp - b)))
     x = _cholesky_solve_t(Gt, rhst, regv, interpret=interpret, panel=panel)

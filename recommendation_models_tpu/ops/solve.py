@@ -84,6 +84,7 @@ def solve_spd_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
         from recommendation_models_tpu.ops.pallas.cholesky import (
             cholesky_solve_flat)
         return cholesky_solve_flat(G_flat, rhs, k, reg_vec=reg_vec)
+    G_flat = G_flat.astype(jnp.float32)   # bf16 G storage: upcast to solve
     if reg_vec is not None:
         G_flat = G_flat + (jnp.asarray(reg_vec, G_flat.dtype)[:, None]
                            * jnp.eye(k, dtype=G_flat.dtype).reshape(-1))

@@ -73,7 +73,12 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
     # weight 0) and solve to exactly 0 against the ridge.
     from recommendation_models_tpu.ops.pallas.cholesky import block_batch
     n_solve = -(-max(n_rows, 1) // block_batch(k)) * block_batch(k)
-    G_dense = jnp.zeros((n_solve, k * k), jnp.float32)
+    # G storage must stay f32: bf16-rounded grams (0.4% per entry) can lose
+    # positive-definiteness — Cholesky NaNs on near-singular rows (measured).
+    # The kernel therefore reads f32 systems; only the gather/matmul INPUTS
+    # run bf16.
+    store_dtype = jnp.float32
+    G_dense = jnp.zeros((n_solve, k * k), store_dtype)
     rhs_dense = jnp.zeros((n_solve, k), jnp.float32)
     deg_dense = jnp.zeros((n_solve,), jnp.float32) if cfg.reg_by_degree else None
     r2 = jnp.zeros((), jnp.float32)
@@ -89,7 +94,8 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         if b <= bb:
             G, rhs = gram_rhs(V, bucket["indices"], wg, wr,
                               chunk=cfg.chunk, compute_dtype=dtype)
-            G_dense = G_dense.at[rid].add(G.reshape(b, k * k), mode="drop")
+            G_dense = G_dense.at[rid].add(
+                G.reshape(b, k * k).astype(store_dtype), mode="drop")
             rhs_dense = rhs_dense.at[rid].add(rhs, mode="drop")
         else:
             n_bb = -(-b // bb)
@@ -106,7 +112,9 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
                 idx_b, wg_b, wr_b, rid_b = xs
                 G, rhs = gram_rhs(V, idx_b, wg_b, wr_b,
                                   chunk=cfg.chunk, compute_dtype=dtype)
-                return (Gd.at[rid_b].add(G.reshape(bb, k * k), mode="drop"),
+                return (Gd.at[rid_b].add(
+                            G.reshape(bb, k * k).astype(store_dtype),
+                            mode="drop"),
                         rd.at[rid_b].add(rhs, mode="drop")), None
 
             init = match_vma((G_dense, rhs_dense), (V, bucket["indices"]))
@@ -118,7 +126,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         if with_sse:
             r2 = r2 + jnp.sum(bucket["mask"] * bucket["values"] ** 2)
     if g0 is not None:
-        G_dense = G_dense + g0.reshape(-1)
+        G_dense = G_dense + g0.reshape(-1).astype(store_dtype)
     if deg_dense is not None:
         reg_vec = cfg.reg * jnp.maximum(deg_dense, 1.0)
     else:
