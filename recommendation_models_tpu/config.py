@@ -8,7 +8,7 @@ layout, and mesh code, and parsed from CLI by the bench/train entry points.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,8 +17,7 @@ rides ICI via XLA collectives (no NCCL analog needed, §5).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax
@@ -32,10 +31,7 @@ except ImportError:  # pragma: no cover
 
 from recommendation_models_tpu.config import SolveConfig
 from recommendation_models_tpu.data.layout import ShardedLayout
-from recommendation_models_tpu.ops.gram import gram_rhs, objective_weights
-from recommendation_models_tpu.ops.solve import add_ridge, solve_spd
 from recommendation_models_tpu.parallel.exchange import ExchangePlan, build_exchange_plan
-from recommendation_models_tpu.utils.compat import match_vma
 
 
 def _exchange_source(V_loc, plan, axis):

@@ -16,7 +16,7 @@ The implicit objective adds the global gramian G0 = V^T V once per half-sweep
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

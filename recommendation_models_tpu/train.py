@@ -15,7 +15,6 @@ Examples:
 from __future__ import annotations
 
 import argparse
-import time
 from typing import Optional
 
 import numpy as np
@@ -56,8 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     engine = p.add_argument_group("engine")
     engine.add_argument("--solver", default="auto",
                         choices=["auto", "xla", "pallas", "lu"])
-    engine.add_argument("--compute-dtype", default="float32",
-                        choices=["float32", "bfloat16"])
+    engine.add_argument("--compute-dtype", default="auto",
+                        choices=["auto", "float32", "bfloat16"])
     engine.add_argument("--n-shards", type=int, default=None)
     engine.add_argument("--exchange", default="allgather",
                         choices=["allgather", "all_to_all"])
@@ -109,7 +108,7 @@ def main(argv: Optional[list] = None) -> int:
 
     import scipy.sparse as sp
     from recommendation_models_tpu.evaluate import leave_n_out
-    from recommendation_models_tpu.utils.logging import MetricsLogger, logger
+    from recommendation_models_tpu.utils.logging import MetricsLogger
     from recommendation_models_tpu.utils.profiling import Timer, trace_sweeps
 
     users, items, ratings, n_users, n_items = _load_data(args)
