@@ -167,6 +167,16 @@ def main(argv: Optional[list] = None) -> int:
     )
     if test is not None and hasattr(model, "rmse"):
         summary["test_rmse"] = float(model.rmse(test))
+    if test is not None and hasattr(model, "recommend") and args.model == "als":
+        from recommendation_models_tpu.evaluate import ndcg_at_k, recall_at_k
+        from recommendation_models_tpu.evaluate.protocol import relevant_by_user
+        tu, ti = test.nonzero()
+        rel = relevant_by_user(tu, ti, n_users)
+        eval_users = np.flatnonzero([len(r) > 0 for r in rel])[:50_000]
+        _, topk = model.recommend(eval_users, n=10, exclude_seen=True)
+        rel_eval = [rel[u] for u in eval_users]
+        summary["recall_at_10"] = round(float(recall_at_k(topk, rel_eval)), 4)
+        summary["ndcg_at_10"] = round(float(ndcg_at_k(topk, rel_eval)), 4)
     metrics.log(len(model.history_), **summary)
     metrics.close()
     if args.verbose:
