@@ -49,7 +49,7 @@ def serving_bench(scale, rank, n_users, n_items) -> None:
         leave_n_out, ndcg_at_k, recall_at_k)
     from recommendation_models_tpu.evaluate.protocol import relevant_by_user
     from recommendation_models_tpu.models.als import ALS
-    from recommendation_models_tpu.ops.topk import topk_scores
+    from recommendation_models_tpu.ops.topk import _resolve_method, topk_scores
 
     users, items, ratings = synthetic_ratings(
         n_users, n_items, min(SCALES[scale][2], 5_000_000), rank=16, seed=0)
@@ -103,6 +103,7 @@ def serving_bench(scale, rank, n_users, n_items) -> None:
             "ndcg_at_10": round(float(ndcg), 4),
             "eval_users": int(eval_users.shape[0]),
             "oracle_users_per_sec": round(oracle_qps, 1),
+            "topk_method": _resolve_method("auto", n_items, k),
             "device": jax.devices()[0].device_kind,
         },
     }))

@@ -41,6 +41,50 @@ def test_sharded_topk_matches_single(rng, cpu_mesh):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_chunked_exact_matches_naive(rng):
+    # catalog wider than one exact block exercises the lax.scan merge path
+    from recommendation_models_tpu.ops import topk as topk_mod
+    U, V = _case(rng, b=6, n=40_000, k=8)
+    sc, it = topk_mod._topk_exact_chunked(
+        jnp.asarray(U), jnp.asarray(V), 10, block=4_096)
+    full = U @ V.T
+    expect = np.argsort(-full, axis=1)[:, :10]
+    np.testing.assert_array_equal(np.asarray(it), expect)
+    np.testing.assert_allclose(np.asarray(sc),
+                               np.take_along_axis(full, expect, 1), rtol=1e-5)
+
+
+def test_approx_method_on_cpu_matches_exact(rng):
+    # CPU approx_max_k falls back to an exact sort: results must agree
+    U, V = _case(rng, b=4, n=500, k=6)
+    s_e, i_e = topk_scores(jnp.asarray(U), jnp.asarray(V), 5, method="exact")
+    s_a, i_a = topk_scores(jnp.asarray(U), jnp.asarray(V), 5, method="approx")
+    np.testing.assert_array_equal(np.asarray(i_e), np.asarray(i_a))
+
+
+def test_exclude_overfetch_keeps_exactness(rng):
+    # the top-k unseen must match a NumPy full-sort with seen items removed,
+    # including a user whose seen list covers most of the catalog
+    U, V = _case(rng, b=2, n=30, k=4)
+    exclude = np.full((2, 25), -1, np.int32)
+    exclude[0, :3] = [0, 1, 2]
+    exclude[1] = np.arange(25)
+    sc, it = topk_scores(jnp.asarray(U), jnp.asarray(V), 5,
+                         jnp.asarray(exclude), method="exact")
+    full = U @ V.T
+    for r in range(2):
+        banned = set(e for e in exclude[r] if e >= 0)
+        order = [i for i in np.argsort(-full[r]) if i not in banned][:5]
+        np.testing.assert_array_equal(np.asarray(it[r]), order)
+
+
+def test_unknown_method_raises(rng):
+    U, V = _case(rng)
+    import pytest
+    with pytest.raises(ValueError):
+        topk_scores(jnp.asarray(U), jnp.asarray(V), 5, method="fastest")
+
+
 def test_sharded_topk_exclude(rng, cpu_mesh):
     U, V = _case(rng, b=3, n=64, k=5)
     exclude = np.array([[0, 1], [10, 20], [-1, -1]], np.int32)
