@@ -208,11 +208,12 @@ def main() -> None:
     # BENCH_ALPHA=<float> switches to the confidence-weighted implicit
     # objective (BASELINE.md config 2)
     alpha = os.environ.get("BENCH_ALPHA")
+    from recommendation_models_tpu.ops.pallas.cholesky import block_batch
     cfg = SolveConfig(rank=rank, reg=0.1, solver=solver,
                       alpha=float(alpha) if alpha else None,
                       compute_dtype=compute_dtype)
-    ub = device_buckets(user_layout)
-    ib = device_buckets(item_layout)
+    ub = device_buckets(user_layout, block_batch(rank))
+    ib = device_buckets(item_layout, block_batch(rank))
     # The whole timed region is ONE device program (lax.scan over sweeps,
     # carry-dependent so nothing hoists) ended by a host readback of a value
     # that depends on every sweep. On remote-attached TPUs (axon tunnel),

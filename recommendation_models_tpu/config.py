@@ -61,10 +61,11 @@ class MeshConfig:
 class DataConfig:
     """Ratings ingest and padded-layout construction (SURVEY.md N1/N12)."""
 
-    # Degree buckets are powers of two between these bounds; rows pad up to
-    # their bucket. Lower bound 8 matches the f32 sublane tile. Rows with
-    # more than max_bucket observations are SPLIT into multiple segments of
-    # max_bucket (gram additivity), keeping every padded block MXU-batchable.
+    # Degree buckets between these bounds; rows pad up to their bucket.
+    # Lower bound 8 matches the f32 sublane tile. Rows with more than
+    # max_bucket observations stay WHOLE in wide max_bucket-aligned buckets
+    # (their gram is chunk-scanned over the padded width), keeping row ids
+    # unique across buckets so every bucket solves independently.
     min_bucket: int = 8
     max_bucket: int = 4096
     # Bucket sizes grow geometrically by this ratio (rounded to multiples of
@@ -72,6 +73,17 @@ class DataConfig:
     # shapes for less padding waste (1.25 cut ML-1M user-side waste from
     # 17% to 11% and ML-25M user-side from 19% to ~8%).
     bucket_growth: float = 1.25
+    # Whale rows (degree > max_bucket) are solved on the DENSE gramian path:
+    # their ratings are stored as a dense (W, n_cols) matrix and the grams
+    # come from ONE MXU matmul against an outer-product feature matrix — no
+    # gathers, no small-batch buckets (the ALX-style dense trick; ~5x faster
+    # than gathered whale buckets, measured at ML-25M). Rows are taken
+    # densest-first until the value matrix reaches dense_budget_mb; any
+    # overflow stays on the (correct, slower) wide-bucket path. NOTE: the
+    # dense block derives its observation mask from value != 0 — explicit
+    # zero ratings there are treated as unobserved.
+    dense_whales: bool = True
+    dense_budget_mb: int = 2048
     # Pad each bucket's row count to a multiple of this (sublane alignment).
     row_multiple: int = 8
     # Cap on padding blowup before a row is split across chunks internally.

@@ -9,8 +9,9 @@ single static-shape vmapped solve; padding rows/slots carry mask 0 and
 contribute exactly zero (tested).
 
 Degree skew is the "long-context" analog here (SURVEY.md §5): bucketing keeps
-padding waste bounded, and whale rows are handled downstream by *chunked* gram
-accumulation over the P axis rather than by splitting rows.
+padding waste bounded, whale rows live whole in wide ``max_bucket``-aligned
+buckets (handled downstream by *chunked* gram accumulation over the P axis),
+and every row appears in exactly one bucket so bucket solves are independent.
 
 All code here is host-side NumPy preprocessing; device placement/sharding
 happens in the solver.
@@ -26,26 +27,15 @@ import numpy as np
 from recommendation_models_tpu.config import DataConfig
 
 
-def _pad_size(deg: int, min_bucket: int, max_bucket: int) -> int:
-    """Padded degree for a row: next power of two, clipped below by
-    ``min_bucket``; above ``max_bucket``, round up to a multiple of
-    ``max_bucket`` instead (bounds distinct compiled shapes and padding
-    waste for whale rows)."""
-    if deg <= min_bucket:
-        return min_bucket
-    if deg <= max_bucket:
-        return 1 << int(np.ceil(np.log2(deg)))
-    return int(max_bucket * -(-deg // max_bucket))
-
-
 @dataclasses.dataclass
 class Bucket:
-    """One degree bucket: ``B`` row *segments* padded to degree ``P``.
+    """One degree bucket: ``B`` rows padded to degree ``P``.
 
     ``row_ids`` uses ``n_rows`` (out of range) as the sentinel for padding
-    rows so results scatter with ``mode='drop'``. A whale row split across
-    several segments appears several times with the same id — consumers must
-    scatter-ADD partial gram/rhs contributions, never overwrite.
+    rows so results scatter with ``mode='drop'``. Every real row appears in
+    EXACTLY ONE bucket (whale rows stay whole in wide ``max_bucket``-aligned
+    buckets), so each bucket's solved factors can be scatter-SET into the
+    table independently — no cross-bucket normal-equation accumulation.
     """
 
     pad: int                 # P
@@ -61,21 +51,34 @@ class Bucket:
 
 @dataclasses.dataclass
 class PaddedLayout:
-    """Bucketed padded layout of one orientation (users-major or items-major)."""
+    """Bucketed padded layout of one orientation (users-major or items-major).
+
+    ``dense_ids``/``dense_vals`` hold the dense-whale block (rows solved via
+    the dense gramian matmul, config.DataConfig.dense_whales): ids (W,) and
+    a dense (W, n_cols) value matrix (0 = unobserved). These rows appear in
+    NO bucket.
+    """
 
     n_rows: int
     n_cols: int
     nnz: int
     buckets: Tuple[Bucket, ...]
+    dense_ids: Optional[np.ndarray] = None
+    dense_vals: Optional[np.ndarray] = None
 
     @property
     def padded_slots(self) -> int:
         return sum(b.n_rows * b.pad for b in self.buckets)
 
     def padding_waste(self) -> float:
-        """Fraction of padded slots that are padding (FLOP waste estimate)."""
+        """Fraction of padded slots that are padding (FLOP waste estimate;
+        bucketed rows only — the dense block has no padding concept)."""
         tot = self.padded_slots
-        return 1.0 - self.nnz / tot if tot else 0.0
+        if not tot:
+            return 0.0
+        dense_nnz = (np.count_nonzero(self.dense_vals)
+                     if self.dense_vals is not None else 0)
+        return 1.0 - (self.nnz - dense_nnz) / tot
 
 
 @dataclasses.dataclass
@@ -120,43 +123,61 @@ def build_layout(
     nnz = int(degrees.sum())
     S = int(cfg.max_bucket)
 
-    # Whale splitting: a row with degree > S becomes ceil(deg/S) SEGMENTS of
-    # <= S observations each, all carrying the same row id. Gram matrices
-    # are additive, so partial normal equations scatter-ADD into the row's
-    # dense (k, k) system downstream — turning what was a deep serial chunk
-    # scan over one huge padded row into batch parallelism across segments
-    # (SURVEY.md §5 "long-context" analog; §7 hard part 1). Zero-degree rows
-    # keep one empty segment so every factor row stays defined.
-    n_segs = np.maximum(-(-degrees // S), 1)
-    seg_row = np.repeat(np.arange(n_rows, dtype=np.int64), n_segs)
-    seg_off = (np.arange(seg_row.shape[0], dtype=np.int64)
-               - np.repeat(np.cumsum(n_segs) - n_segs, n_segs))
-    seg_deg = np.clip(degrees[seg_row] - seg_off * S, 0, S)
-    seg_start = indptr[seg_row] + seg_off * S
+    # Dense-whale block: densest rows first, while the (W, n_cols) f32 value
+    # matrix fits the budget. These rows skip bucketing entirely — their
+    # grams come from one dense MXU matmul downstream (no gathers).
+    dense_ids = dense_vals = None
+    is_dense = np.zeros(n_rows, bool)
+    if getattr(cfg, "dense_whales", False):
+        cap = max((cfg.dense_budget_mb * (1 << 20)) // (max(n_cols, 1) * 4), 0)
+        cand = np.flatnonzero(degrees > S)
+        if cand.size and cap > 0:
+            cand = cand[np.argsort(-degrees[cand], kind="stable")][:cap]
+            dense_ids = np.sort(cand).astype(np.int32)
+            is_dense[dense_ids] = True
+            dense_vals = np.zeros((dense_ids.shape[0], n_cols), np.float32)
+            for w, r in enumerate(dense_ids):
+                lo, hi = indptr[r], indptr[r + 1]
+                dense_vals[w, indices[lo:hi]] = data[lo:hi]
 
-    # Padded size per segment -> bucket key (always <= S now). Bucket sizes
-    # form a geometric grid (ratio cfg.bucket_growth, 8-aligned) between
-    # min_bucket and S: finer-than-pow2 grids cut padding waste on
-    # heavy-tailed degree distributions at the cost of a few more compiled
-    # bucket shapes.
+    # Bucket widths form a geometric grid (ratio cfg.bucket_growth) between
+    # min_bucket and S (8-aligned), then CONTINUE past S (S-aligned) so whale
+    # rows stay whole in a few wide bucket classes: a whale's gram is chunk-
+    # scanned over its padded width downstream (SURVEY.md §5 "long-context"
+    # analog), while its row id stays unique across all buckets — that
+    # uniqueness is what lets each bucket solve + scatter-SET independently,
+    # with no dense cross-bucket scatter-ADD of (k, k) normal equations
+    # (measured: XLA scatter-add of k^2-wide rows is ~5x slower than the
+    # equivalent gather and dominated the ML-25M epoch). Finer-than-pow2
+    # grids cut padding waste on heavy-tailed degree distributions at the
+    # cost of a few more compiled bucket shapes.
     growth = max(float(getattr(cfg, "bucket_growth", 2.0)), 1.05)
     grid = [int(cfg.min_bucket)]
     while grid[-1] < S:
         nxt = max(int(np.ceil(grid[-1] * growth / 8.0)) * 8, grid[-1] + 8)
         grid.append(min(nxt, S))
+    bucketed_deg = degrees[~is_dense]
+    max_deg = int(bucketed_deg.max()) if bucketed_deg.size else 0
+    align = max(8, min(S, 1024))  # whale widths stay on the geometric grid
+    while grid[-1] < max_deg:     # (a full S-alignment would jump 2x at S)
+        nxt = max(int(np.ceil(grid[-1] * growth / align)) * align,
+                  grid[-1] + align)
+        grid.append(nxt)
     grid = np.asarray(grid, dtype=np.int64)
-    pads = grid[np.searchsorted(grid, seg_deg)]
+    # (dense rows can exceed the grid top — they take no bucket; clip keeps
+    # the searchsorted index in range)
+    pads = grid[np.minimum(np.searchsorted(grid, degrees), grid.size - 1)]
 
     buckets = []
-    for pad in np.unique(pads):
+    for pad in np.unique(pads[~is_dense]) if is_dense.any() else np.unique(pads):
         pad = int(pad)
-        sel = np.flatnonzero(pads == pad)
-        deg = seg_deg[sel]
+        sel = np.flatnonzero((pads == pad) & ~is_dense)  # row ids, this bucket
+        deg = degrees[sel]
         b_real = sel.shape[0]
         b = int(-(-b_real // cfg.row_multiple) * cfg.row_multiple)
 
         row_ids = np.full(b, n_rows, dtype=np.int32)
-        row_ids[:b_real] = seg_row[sel].astype(np.int32)
+        row_ids[:b_real] = sel.astype(np.int32)
         idx = np.zeros((b, pad), dtype=np.int32)
         val = np.zeros((b, pad), dtype=np.float32)
         msk = np.zeros((b, pad), dtype=np.float32)
@@ -165,7 +186,7 @@ def build_layout(
         if total:
             cum = np.cumsum(deg)
             within = np.arange(total, dtype=np.int64) - np.repeat(cum - deg, deg)
-            src = np.repeat(seg_start[sel], deg) + within
+            src = np.repeat(indptr[sel], deg) + within
             rowpos = np.repeat(np.arange(b_real, dtype=np.int64), deg)
             idx[rowpos, within] = indices[src]
             val[rowpos, within] = data[src]
@@ -175,7 +196,8 @@ def build_layout(
                               values=val, mask=msk))
 
     return PaddedLayout(n_rows=n_rows, n_cols=n_cols, nnz=nnz,
-                        buckets=tuple(buckets))
+                        buckets=tuple(buckets),
+                        dense_ids=dense_ids, dense_vals=dense_vals)
 
 
 def layout_from_coo(
@@ -226,14 +248,22 @@ def csr_arrays(R) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
     return indptr, cols.astype(np.int32), vals, R.shape[0], R.shape[1]
 
 
-def shard_layout(layout: PaddedLayout, n_shards: int) -> ShardedLayout:
+def shard_layout(layout: PaddedLayout, n_shards: int,
+                 row_multiple: int = 8) -> ShardedLayout:
     """Re-stack a PaddedLayout into per-shard blocks with identical shapes.
 
     Row ``r`` lives on shard ``r // rows_per_shard``; its factor row lives in
     the shard-local slice of the row-sharded table (SURVEY.md N4). Bucket
     shapes are padded to the per-bucket max across shards so a single
-    shard_map body covers every shard.
+    shard_map body covers every shard. ``row_multiple`` rounds each bucket's
+    row count (pass the solve kernel's batch block so the solver never pays
+    a whole-array pad copy).
     """
+    if layout.dense_ids is not None:
+        raise ValueError(
+            "shard_layout: layout has a dense-whale block; build the layout "
+            "with DataConfig(dense_whales=False) for sharded execution "
+            "(wide buckets handle whales there)")
     rows_per_shard = -(-layout.n_rows // n_shards)
     pads, all_rid, all_idx, all_val, all_msk = [], [], [], [], []
     for b in layout.buckets:
@@ -241,7 +271,10 @@ def shard_layout(layout: PaddedLayout, n_shards: int) -> ShardedLayout:
         shard_of = np.where(real, b.row_ids // rows_per_shard, -1)
         counts = np.bincount(shard_of[shard_of >= 0], minlength=n_shards)
         bmax = max(int(counts.max()) if counts.size else 0, 1)
-        bmax = -(-bmax // 8) * 8  # sublane alignment
+        # don't inflate small (whale) buckets to the solve block — the pad
+        # copy of a tiny G is cheaper than 10-100x extra gather volume
+        mult = row_multiple if bmax >= row_multiple else 8
+        bmax = -(-bmax // mult) * mult
         rid = np.full((n_shards, bmax), rows_per_shard, dtype=np.int32)
         idx = np.zeros((n_shards, bmax, b.pad), dtype=np.int32)
         val = np.zeros((n_shards, bmax, b.pad), dtype=np.float32)

@@ -17,7 +17,7 @@ import numpy as np
 
 from recommendation_models_tpu.data.layout import Bucket, PaddedLayout
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_layout(path: str, layout: PaddedLayout) -> str:
@@ -27,6 +27,9 @@ def save_layout(path: str, layout: PaddedLayout) -> str:
                             layout.nnz, len(layout.buckets)], np.int64),
         "pads": np.asarray([b.pad for b in layout.buckets], np.int64),
     }
+    if layout.dense_ids is not None:
+        arrays["dense_ids"] = layout.dense_ids
+        arrays["dense_vals"] = layout.dense_vals
     for i, b in enumerate(layout.buckets):
         arrays[f"rid_{i}"] = b.row_ids
         arrays[f"idx_{i}"] = b.indices
@@ -58,8 +61,11 @@ def load_layout(path: str, mmap: bool = False) -> PaddedLayout:
                values=np.asarray(z[f"val_{i}"]),
                mask=np.asarray(z[f"msk_{i}"]).astype(np.float32))
         for i in range(n_buckets))
+    dense_ids = np.asarray(z["dense_ids"]) if "dense_ids" in z.files else None
+    dense_vals = np.asarray(z["dense_vals"]) if "dense_vals" in z.files else None
     return PaddedLayout(n_rows=n_rows, n_cols=n_cols, nnz=nnz,
-                        buckets=buckets)
+                        buckets=buckets,
+                        dense_ids=dense_ids, dense_vals=dense_vals)
 
 
 def cached_layout(path: Optional[str],

@@ -134,10 +134,13 @@ class ALS(BaseEstimator):
                                    dcfg, transpose=True)
 
         prefix = self.layout_cache
+        # distinct cache files per layout flavor (sharded builds disable the
+        # dense-whale block; sharing one file would silently mismatch)
+        tag = "" if dcfg.dense_whales else ".nodense"
         user_layout = cached_layout(
-            f"{prefix}.user.npz" if prefix else None, build_user)
+            f"{prefix}{tag}.user.npz" if prefix else None, build_user)
         item_layout = cached_layout(
-            f"{prefix}.item.npz" if prefix else None, build_item)
+            f"{prefix}{tag}.item.npz" if prefix else None, build_item)
         return user_layout, item_layout
 
     def _init_factors_host(self, n_users, n_items):
@@ -168,10 +171,11 @@ class ALS(BaseEstimator):
         if n_shards is not None and n_shards > 1:
             return self._fit_sharded(indptr, indices, data, U0, V0, dcfg, scfg)
 
+        from recommendation_models_tpu.ops.pallas.cholesky import block_batch
         user_layout, item_layout = self._build_layouts(
             indptr, indices, data, n_users, n_items, dcfg)
-        ub = device_buckets(user_layout)
-        ib = device_buckets(item_layout)
+        ub = device_buckets(user_layout, block_batch(self.rank))
+        ib = device_buckets(item_layout, block_batch(self.rank))
 
         if U0 is not None and V0 is not None:
             U = jnp.asarray(U0, jnp.float32)
@@ -216,10 +220,17 @@ class ALS(BaseEstimator):
         n_users, n_items = self.n_users_, self.n_items_
         nnz = indices.shape[0]
         mesh = get_mesh(self.n_shards, platform=self.platform)
+        import dataclasses
+        from recommendation_models_tpu.ops.pallas.cholesky import block_batch
+        # sharded execution keeps whales on the wide-bucket path (the dense
+        # block would need the full opposite table on every shard)
+        dcfg = dataclasses.replace(dcfg, dense_whales=False)
         ul, il = self._build_layouts(indptr, indices, data, n_users, n_items,
                                      dcfg)
-        user_layout = shard_layout(ul, self.n_shards)
-        item_layout = shard_layout(il, self.n_shards)
+        user_layout = shard_layout(ul, self.n_shards,
+                                   row_multiple=block_batch(self.rank))
+        item_layout = shard_layout(il, self.n_shards,
+                                   row_multiple=block_batch(self.rank))
         prog = ShardedALSProgram(user_layout, item_layout, mesh, scfg,
                                  exchange=self.exchange)
         self._sharded_program = prog

@@ -177,12 +177,17 @@ class IMC(BaseEstimator):
                 f"{users.max()} vs X rows {n_users}, max item {items.max()} "
                 f"vs Y rows {n_items}")
 
+        from recommendation_models_tpu.config import DataConfig
         from recommendation_models_tpu.data.layout import layout_from_coo
         from recommendation_models_tpu.solver.als_sweep import device_buckets
 
-        user_layout = layout_from_coo(users, items, ratings, n_users, n_items)
+        # IMC's gram consumer iterates gather buckets only — build without
+        # the ALS dense-whale block (wide buckets handle whale rows here)
+        dcfg = DataConfig(dense_whales=False)
+        user_layout = layout_from_coo(users, items, ratings, n_users, n_items,
+                                      config=dcfg)
         item_layout = layout_from_coo(users, items, ratings, n_users, n_items,
-                                      transpose=True)
+                                      transpose=True, config=dcfg)
         reg, cg_iters = float(self.reg), int(self.cg_iters)
         rng = np.random.default_rng(self.seed)
         k = self.rank

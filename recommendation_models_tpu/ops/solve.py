@@ -92,6 +92,49 @@ def solve_spd_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
     return solve_spd(G_flat.reshape(b, k, k), rhs, solver)
 
 
+def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
+                solver: str = "auto", reg_vec=None) -> jnp.ndarray:
+    """Solve with BATCH-MINOR systems: Gt (k, k, B), rhst (k, B) -> x (k, B).
+
+    This is the Pallas kernel's native layout — producing it straight from
+    the gram einsum (ops.gram.gram_rhs_t) skips the whole-array transpose a
+    batch-major G would need. The xla/lu fallbacks transpose internally
+    (CPU tests / correctness anchor only).
+
+    ``reg_vec`` (B,): per-system ridge (fused with the load on the Pallas
+    path). The batch is padded to a sublane multiple if needed; padding
+    systems solve against the identity.
+    """
+    k, _, b = Gt.shape
+    if reg_vec is None:
+        regv = jnp.zeros((1, b), jnp.float32)
+    else:
+        regv = jnp.asarray(reg_vec, jnp.float32).reshape(1, b)
+    solver = resolve_solver(solver)
+    if solver == "pallas" and k % 8 == 0:
+        from recommendation_models_tpu.ops.pallas.cholesky import (
+            _cholesky_solve_t, _use_interpret, block_batch)
+        block = block_batch(k)
+        bp = b if b <= block else -(-b // block) * block
+        bp = -(-bp // 8) * 8
+        if bp != b:
+            eye = jnp.eye(k, dtype=Gt.dtype)
+            Gt = jnp.pad(Gt, ((0, 0), (0, 0), (0, bp - b)))
+            Gt = Gt + eye[:, :, None] * (jnp.arange(bp) >= b)[None, None, :
+                                                              ].astype(Gt.dtype)
+            rhst = jnp.pad(rhst, ((0, 0), (0, bp - b)))
+            regv = jnp.pad(regv, ((0, 0), (0, bp - b)))
+        x = _cholesky_solve_t(Gt.astype(jnp.float32),
+                              rhst.astype(jnp.float32), regv,
+                              interpret=_use_interpret(), panel=False)
+        return x[:, :b]
+    G = jnp.transpose(Gt, (2, 0, 1)).astype(jnp.float32)
+    if reg_vec is not None:
+        G = G + (regv[0][:, None, None] * jnp.eye(k, dtype=G.dtype))
+    x = solve_spd(G, jnp.transpose(rhst, (1, 0)), solver)
+    return jnp.transpose(x, (1, 0))
+
+
 def flat_ridge(G_flat: jnp.ndarray, k: int, reg, degrees=None) -> jnp.ndarray:
     """add_ridge on flat (B, k*k) systems."""
     eye_flat = jnp.eye(k, dtype=G_flat.dtype).reshape(-1)
@@ -101,5 +144,5 @@ def flat_ridge(G_flat: jnp.ndarray, k: int, reg, degrees=None) -> jnp.ndarray:
     return G_flat + scale[:, None] * eye_flat
 
 
-__all__ = ["solve_spd", "solve_spd_flat", "add_ridge", "flat_ridge",
-           "resolve_solver", "resolve_compute_dtype"]
+__all__ = ["solve_spd", "solve_spd_flat", "solve_spd_t", "add_ridge",
+           "flat_ridge", "resolve_solver", "resolve_compute_dtype"]

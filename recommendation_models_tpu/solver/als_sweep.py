@@ -24,9 +24,9 @@ import numpy as np
 
 from recommendation_models_tpu.config import SolveConfig
 from recommendation_models_tpu.data.layout import PaddedLayout
-from recommendation_models_tpu.ops.gram import gram_rhs, objective_weights
+from recommendation_models_tpu.ops.gram import gram_rhs_t, objective_weights
 from recommendation_models_tpu.ops.solve import (
-    resolve_compute_dtype, solve_spd_flat,
+    resolve_compute_dtype, solve_spd_flat, solve_spd_t,
 )
 from recommendation_models_tpu.utils.compat import match_vma
 
@@ -35,68 +35,169 @@ from recommendation_models_tpu.utils.compat import match_vma
 DeviceBuckets = Tuple[Dict[str, jnp.ndarray], ...]
 
 
-def device_buckets(layout: PaddedLayout) -> DeviceBuckets:
-    """Convert a host PaddedLayout's buckets into a jit-friendly pytree."""
-    return tuple(
-        dict(
-            row_ids=jnp.asarray(b.row_ids),
-            indices=jnp.asarray(b.indices),
-            values=jnp.asarray(b.values),
-            mask=jnp.asarray(b.mask),
-        )
-        for b in layout.buckets
-    )
+def device_buckets(layout: PaddedLayout,
+                   row_multiple: int = 1) -> DeviceBuckets:
+    """Convert a host PaddedLayout's buckets into a jit-friendly pytree.
+
+    ``row_multiple`` rounds each bucket's row count up (host-side, cheap) —
+    pass the solve kernel's batch block (``ops.pallas.cholesky.block_batch``)
+    so the per-bucket solves never pay a whole-array pad copy on device.
+    Extra rows carry the ``n_rows`` sentinel id and zero mask: they solve
+    against the bare ridge to exactly zero and scatter-drop.
+
+    Buckets SMALLER than ``row_multiple`` (typically wide whale buckets with
+    a handful of rows) are NOT inflated: padding an 8-row x 100k-wide bucket
+    to 256 rows would multiply its gather volume 32x, while the solve
+    wrapper's pad copy of a tiny (B, k^2) G is free by comparison.
+    """
+    out = []
+    for b in layout.buckets:
+        rid, idx, val, msk = b.row_ids, b.indices, b.values, b.mask
+        n, p = idx.shape
+        mult = row_multiple if n >= row_multiple else 8
+        np_rows = -(-n // mult) * mult
+        if np_rows != n:
+            pad = np_rows - n
+            rid = np.concatenate(
+                [rid, np.full(pad, layout.n_rows, rid.dtype)])
+            idx = np.concatenate([idx, np.zeros((pad, p), idx.dtype)])
+            val = np.concatenate([val, np.zeros((pad, p), val.dtype)])
+            msk = np.concatenate([msk, np.zeros((pad, p), msk.dtype)])
+        out.append(dict(
+            row_ids=jnp.asarray(rid),
+            indices=jnp.asarray(idx),
+            values=jnp.asarray(val),
+            mask=jnp.asarray(msk),
+        ))
+    if getattr(layout, "dense_ids", None) is not None:
+        out.append(dict(
+            dense_ids=jnp.asarray(layout.dense_ids),
+            dense_vals=jnp.asarray(layout.dense_vals),
+        ))
+    return tuple(out)
+
+
+def _split_dense(buckets):
+    """Separate the dense-whale block (if any) from the gather buckets."""
+    dense = [b for b in buckets if "dense_vals" in b]
+    gathered = tuple(b for b in buckets if "dense_vals" not in b)
+    return gathered, (dense[0] if dense else None)
+
+
+def dense_gram_rhs(V, vals, alpha, compute_dtype, col_chunk: int = 65_536):
+    """Normal equations for the dense-whale block via the dense gramian:
+    ``G_w = V^T diag(wg_w) V`` computed as ONE (W, n) x (n, k^2) MXU matmul
+    against the outer-product feature matrix ``P[n] = vec(V_n V_n^T)`` —
+    no gathers (rows this dense touch most of V anyway; the matmul runs at
+    MXU rate while a gathered bucket of 8-128 whales is latency-bound).
+
+    ``vals`` is (W, n) with 0 = unobserved. Columns are processed in
+    ``col_chunk`` blocks so P never exceeds ~0.5 GB in bf16.
+    """
+    k = V.shape[-1]
+    n = V.shape[0]
+    w = vals.shape[0]
+    mask = (vals != 0).astype(jnp.float32)
+    wg, wr = objective_weights(vals, mask, alpha)
+    Vc = V.astype(compute_dtype)
+    G = jnp.zeros((w, k * k), jnp.float32)
+    rhs = jnp.zeros((w, k), jnp.float32)
+    for s in range(0, n, col_chunk):
+        e = min(s + col_chunk, n)
+        Vs = Vc[s:e]
+        P = (Vs[:, :, None] * Vs[:, None, :]).reshape(e - s, k * k)
+        G = G + jnp.matmul(wg[:, s:e].astype(compute_dtype), P,
+                           preferred_element_type=jnp.float32)
+        rhs = rhs + jnp.matmul(wr[:, s:e].astype(compute_dtype), Vs,
+                               preferred_element_type=jnp.float32)
+    return G, rhs, mask
 
 
 def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
                       with_sse=False):
-    """Scatter-ADD every bucket's partial normal equations into one dense
-    per-row system, then solve ALL rows in ONE batched Cholesky call.
+    """Solve every bucket's normal equations INDEPENDENTLY and scatter-SET
+    the solved (B, k) factors into the table.
 
-    Whale rows arrive as several segments with the same row id (layout.py);
-    gram additivity makes the scatter-add exact. The dense (n_rows, k, k)
-    layout gives a single Pallas kernel shape per half-sweep, and the solve
-    output IS the new factor table — no final scatter. Zero-degree rows
-    solve against ridge(+G0) with rhs 0 => exactly 0.
+    Row ids are unique across buckets (layout.py: whale rows stay whole in
+    wide buckets), so each bucket's gram IS the row's full system — there is
+    no dense (n_rows, k*k) accumulation and, critically, no k^2-wide XLA
+    scatter-ADD (measured ~5x slower than the same-volume gather; it
+    dominated the ML-25M epoch). Only the k-wide solutions scatter.
+    Zero-degree rows solve against ridge(+G0) with rhs 0 => exactly 0.
 
     Returns (x (n_rows, k), sse-or-None).
     """
     k = V.shape[-1]
     dtype = jnp.dtype(resolve_compute_dtype(cfg.compute_dtype))
-    # The dense per-row systems are kept FLAT (n_solve, k*k): a (n, k, k)
-    # f32 array pads its minor k dim to the 128-lane tile (2x memory at
-    # k=64 — an HBM OOM at the 100M-interaction scale); the flat form pads
-    # nothing and converts to the kernel's batch-minor layout for free.
-    # n_solve is pre-rounded to the kernel's batch-block multiple so the
-    # solve wrapper never copies the whole array to pad it; extra rows get
-    # zero normal equations (their sentinel scatter contributions carry
-    # weight 0) and solve to exactly 0 against the ridge.
     from recommendation_models_tpu.ops.pallas.cholesky import block_batch
-    n_solve = -(-max(n_rows, 1) // block_batch(k)) * block_batch(k)
+    block = block_batch(k)
+    buckets, dense = _split_dense(buckets)
     # G storage must stay f32: bf16-rounded grams (0.4% per entry) can lose
     # positive-definiteness — Cholesky NaNs on near-singular rows (measured).
-    # The kernel therefore reads f32 systems; only the gather/matmul INPUTS
-    # run bf16.
-    store_dtype = jnp.float32
-    G_dense = jnp.zeros((n_solve, k * k), store_dtype)
-    rhs_dense = jnp.zeros((n_solve, k), jnp.float32)
-    deg_dense = jnp.zeros((n_solve,), jnp.float32) if cfg.reg_by_degree else None
-    r2 = jnp.zeros((), jnp.float32)
+    # Only the gather/matmul INPUTS run bf16.
+    U = match_vma(jnp.zeros((n_rows, k), jnp.float32),
+                  (V,) + tuple(b["indices"] for b in buckets))
+    r2 = xr = xx = jnp.zeros((), jnp.float32)
+    g0_flat = None if g0 is None else g0.reshape(-1).astype(jnp.float32)
+    if dense is not None:
+        G, rhs, dmask = dense_gram_rhs(V, dense["dense_vals"], cfg.alpha,
+                                       dtype)
+        if g0_flat is not None:
+            G = G + g0_flat
+        if cfg.reg_by_degree:
+            reg_vec = cfg.reg * jnp.maximum(dmask.sum(-1), 1.0)
+        else:
+            reg_vec = jnp.full((G.shape[0],), cfg.reg, jnp.float32)
+        x = solve_spd_flat(G, rhs, k, cfg.solver, reg_vec=reg_vec)
+        U = U.at[dense["dense_ids"]].set(x, mode="drop")
+        if with_sse:
+            r2 = r2 + jnp.sum(dmask * dense["dense_vals"] ** 2)
+            xr = xr + jnp.einsum("bk,bk->", x, rhs,
+                                 preferred_element_type=jnp.float32)
+            xx = xx + jnp.einsum("b,bk,bk->", reg_vec, x, x,
+                                 preferred_element_type=jnp.float32)
+    g0_t = None if g0 is None else g0.astype(jnp.float32)[:, :, None]
     for bucket in buckets:
         wg, wr = objective_weights(bucket["values"], bucket["mask"], cfg.alpha)
         rid = bucket["row_ids"]
         b, p = bucket["indices"].shape
-        # Row-block big buckets so the gathered (rows, P, k) temp stays under
-        # the HBM budget; each block scatter-adds straight into the dense
-        # normal equations (peak memory = dense G + ONE block temp).
-        bb = max(8, (cfg.gather_budget_mb * (1 << 20))
-                 // (p * k * dtype.itemsize) // 8 * 8)
+        # Small-batch WIDE buckets (whales): a 512-chunk scan over a 100k
+        # width is hundreds of latency-bound steps doing (8, 512, k) of work
+        # each — widen the chunk so every scan step gathers ~32k rows.
+        chunk = min(p, max(cfg.chunk, (32_768 // max(b, 1)) // 8 * 8))
+        if cfg.reg_by_degree:
+            reg_row = cfg.reg * jnp.maximum(bucket["mask"].sum(-1), 1.0)
+        else:
+            reg_row = jnp.full((b,), cfg.reg, jnp.float32)
+        # Row-block big buckets so the gathered (rows, P, k) temp stays
+        # under the HBM budget. The SOLVE runs inside the scan too, so a
+        # big bucket's (k, k, bb) normal equations exist one block at a
+        # time — the full (B, k^2) G is never materialized. bb is a
+        # multiple of the solve kernel's batch block.
+        bb = max(block, (cfg.gather_budget_mb * (1 << 20))
+                 // (p * k * dtype.itemsize) // block * block)
+
+        def solve_block(idx_b, wg_b, wr_b, reg_b):
+            # gram straight to the kernel's batch-minor (k, k, bb) layout:
+            # no whole-array transpose between gram and solve (measured
+            # ~35 ms/half-sweep at ML-25M otherwise)
+            Gt, rt = gram_rhs_t(V, idx_b, wg_b, wr_b,
+                                chunk=chunk, compute_dtype=dtype)
+            if g0_t is not None:
+                Gt = Gt + g0_t
+            xt = solve_spd_t(Gt, rt, cfg.solver, reg_vec=reg_b)  # (k, bb)
+            if with_sse:
+                xr_b = jnp.einsum("kb,kb->", xt, rt,
+                                  preferred_element_type=jnp.float32)
+                xx_b = jnp.einsum("b,kb,kb->", reg_b, xt, xt,
+                                  preferred_element_type=jnp.float32)
+                return xt, xr_b, xx_b
+            return xt, jnp.float32(0), jnp.float32(0)
+
         if b <= bb:
-            G, rhs = gram_rhs(V, bucket["indices"], wg, wr,
-                              chunk=cfg.chunk, compute_dtype=dtype)
-            G_dense = G_dense.at[rid].add(
-                G.reshape(b, k * k).astype(store_dtype), mode="drop")
-            rhs_dense = rhs_dense.at[rid].add(rhs, mode="drop")
+            xt, xr_b, xx_b = solve_block(bucket["indices"], wg, wr, reg_row)
+            x = jnp.transpose(xt, (1, 0))
+            xr, xx = xr + xr_b, xx + xx_b
         else:
             n_bb = -(-b // bb)
             pad = n_bb * bb - b
@@ -104,48 +205,35 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
                             ).reshape(n_bb, bb, p)
             wg_s = jnp.pad(wg, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
             wr_s = jnp.pad(wr, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
-            rid_s = jnp.pad(rid, (0, pad), constant_values=n_solve
+            reg_s = jnp.pad(reg_row, (0, pad), constant_values=cfg.reg
                             ).reshape(n_bb, bb)
+            rid = jnp.pad(rid, (0, pad), constant_values=n_rows)
+            b = n_bb * bb
 
             def body(carry, xs):
-                Gd, rd = carry
-                idx_b, wg_b, wr_b, rid_b = xs
-                G, rhs = gram_rhs(V, idx_b, wg_b, wr_b,
-                                  chunk=cfg.chunk, compute_dtype=dtype)
-                return (Gd.at[rid_b].add(
-                            G.reshape(bb, k * k).astype(store_dtype),
-                            mode="drop"),
-                        rd.at[rid_b].add(rhs, mode="drop")), None
+                cxr, cxx = carry
+                xt, xr_b, xx_b = solve_block(*xs)
+                return (cxr + xr_b, cxx + xx_b), jnp.transpose(xt, (1, 0))
 
-            init = match_vma((G_dense, rhs_dense), (V, bucket["indices"]))
-            (G_dense, rhs_dense), _ = jax.lax.scan(
-                body, init, (idx_s, wg_s, wr_s, rid_s))
-        if deg_dense is not None:
-            deg_dense = deg_dense.at[rid].add(bucket["mask"].sum(-1),
-                                              mode="drop")
+            init = match_vma((jnp.zeros((), jnp.float32),
+                              jnp.zeros((), jnp.float32)),
+                             (V, bucket["indices"]))
+            (xr_b, xx_b), x = jax.lax.scan(
+                body, init, (idx_s, wg_s, wr_s, reg_s))
+            x = x.reshape(b, k)
+            xr, xx = xr + xr_b, xx + xx_b
+        U = U.at[rid].set(x, mode="drop")
         if with_sse:
+            # Explicit-objective residual, free from the solve's own
+            # quantities: sse_row = sum w r^2 - 2 x.rhs + x^T G x, and since
+            # the solver gives (G + reg I) x = rhs exactly, x^T G x =
+            # x.rhs - reg ||x||^2 — the whole quadratic term collapses to
+            # dot products over (k, b). Summed over the *item* half-sweep's
+            # rows this equals masked_sse(U_new, V_new) (tested).
             r2 = r2 + jnp.sum(bucket["mask"] * bucket["values"] ** 2)
-    if g0 is not None:
-        G_dense = G_dense + g0.reshape(-1).astype(store_dtype)
-    if deg_dense is not None:
-        reg_vec = cfg.reg * jnp.maximum(deg_dense, 1.0)
-    else:
-        reg_vec = jnp.full((n_solve,), cfg.reg, jnp.float32)
-    x = solve_spd_flat(G_dense, rhs_dense, k, cfg.solver, reg_vec=reg_vec)
     if not with_sse:
-        return x[:n_rows], None
-    # Explicit-objective residual, free from the solve's own quantities:
-    # sse_row = sum w r^2 - 2 x.rhs + x^T G x, and since the solver gives
-    # (G + reg I) x = rhs exactly, x^T G x = x.rhs - reg ||x||^2 — the whole
-    # quadratic term collapses to dot products over (n, k): no G transpose,
-    # no (n, k, k) einsum. Summed over the *item* half-sweep's rows this
-    # equals masked_sse(U_new, V_new) (tested).
-    xr = jnp.einsum("bk,bk->", x, rhs_dense,
-                    preferred_element_type=jnp.float32)
-    xx = jnp.einsum("b,bk,bk->", reg_vec, x, x,
-                    preferred_element_type=jnp.float32)
-    sse = r2 - xr - xx
-    return x[:n_rows], sse
+        return U, None
+    return U, r2 - xr - xx
 
 
 def half_sweep(
@@ -186,9 +274,21 @@ def masked_sse(
     row-blocks (then degree chunks) so the gathered temp stays bounded.
     """
     k = V.shape[-1]
+    buckets, dense = _split_dense(buckets)
     total = jnp.zeros((), jnp.float32)
+    if dense is not None:
+        vals = dense["dense_vals"]                     # (W, n_cols)
+        Ud = jnp.take(U, dense["dense_ids"], axis=0, mode="fill",
+                      fill_value=0.0)
+        n = V.shape[0]
+        for s in range(0, n, 65_536):
+            e = min(s + 65_536, n)
+            pred = jnp.einsum("wk,nk->wn", Ud, V[s:e],
+                              preferred_element_type=jnp.float32)
+            v = vals[:, s:e]
+            total = total + jnp.sum(jnp.where(v != 0, (v - pred) ** 2, 0.0))
 
-    def block_sse(rid_b, idx_b, val_b, msk_b):
+    def block_sse(rid_b, idx_b, val_b, msk_b, chunk):
         """SSE of one (bb, p) block, degree-chunked."""
         Ug = jnp.take(U, rid_b, axis=0, mode="fill", fill_value=0.0)
         p = idx_b.shape[1]
@@ -221,10 +321,13 @@ def masked_sse(
     for b in buckets:
         idx, val, msk, rid = b["indices"], b["values"], b["mask"], b["row_ids"]
         bsz, p = idx.shape
+        # widen the chunk for small wide (whale) buckets — same rationale as
+        # solve_all_buckets
+        chunk_b = min(p, max(chunk, (32_768 // max(bsz, 1)) // 8 * 8))
         bb = max(8, (gather_budget_mb * (1 << 20))
-                 // (min(p, chunk) * k * 4) // 8 * 8)
+                 // (min(p, chunk_b) * k * 4) // 8 * 8)
         if bsz <= bb:
-            total = total + block_sse(rid, idx, val, msk)
+            total = total + block_sse(rid, idx, val, msk, chunk_b)
             continue
         n_bb = -(-bsz // bb)
         pad = n_bb * bb - bsz
@@ -236,7 +339,7 @@ def masked_sse(
 
         def outer(acc, xs):
             rid_b, idx_b, val_b, msk_b = xs
-            return acc + block_sse(rid_b, idx_b, val_b, msk_b), None
+            return acc + block_sse(rid_b, idx_b, val_b, msk_b, chunk_b), None
 
         init = match_vma(jnp.zeros((), jnp.float32), (U, V, idx))
         part, _ = jax.lax.scan(outer, init, (rid_s, idx_s, val_s, msk_s))

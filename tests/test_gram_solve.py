@@ -124,9 +124,54 @@ def test_half_sweep_fused_sse_matches_masked_sse(rng):
                                rtol=1e-3, atol=1e-2)
 
 
-def test_whale_split_half_sweep_matches_dense(rng):
-    """A row split into segments (max_bucket < degree) must solve to exactly
-    the same normal-equations solution as the unsplit dense computation."""
+def test_dense_whale_fused_sse_and_full_fit(rng):
+    """Fused SSE and the scanned full fit must stay exact when rows ride the
+    dense-whale block (both explicit and implicit objectives)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from recommendation_models_tpu.config import DataConfig, SolveConfig
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    from recommendation_models_tpu.models.als import ALS
+    from recommendation_models_tpu.solver.als_sweep import (
+        device_buckets, half_sweep, masked_sse)
+
+    n_users, n_items, k = 30, 60, 5
+    # users 0-2 are whales rating 50 items each; rest rate ~5
+    rows = np.concatenate([np.repeat(np.arange(3), 50),
+                           np.repeat(np.arange(3, n_users), 5)])
+    cols = np.concatenate([np.tile(np.arange(50), 3),
+                           rng.integers(0, n_items, 5 * (n_users - 3))])
+    uniq = np.unique(rows * n_items + cols)
+    rows, cols = uniq // n_items, uniq % n_items
+    vals = rng.uniform(1, 5, uniq.shape[0]).astype(np.float32)
+    dcfg = DataConfig(max_bucket=16)
+    ul = layout_from_coo(rows, cols, vals, n_users, n_items, config=dcfg)
+    il = layout_from_coo(rows, cols, vals, n_users, n_items, transpose=True,
+                         config=dcfg)
+    assert ul.dense_ids is not None and len(ul.dense_ids) >= 3
+    ub, ib = device_buckets(ul), device_buckets(il)
+    cfg = SolveConfig(rank=k, reg=0.05, solver="xla")
+    U2 = half_sweep(jnp.asarray(0.1 * rng.standard_normal((n_items, k)),
+                                jnp.float32), ub, n_users, cfg)
+    V2, sse_fused = half_sweep(U2, ib, n_items, cfg, with_sse=True)
+    sse_ref = masked_sse(U2, V2, ub)
+    np.testing.assert_allclose(float(sse_fused), float(sse_ref),
+                               rtol=1e-3, atol=1e-2)
+
+    # full fits converge on both objectives with whales in the dense block
+    R = sp.csr_matrix((vals, (rows, cols)), shape=(n_users, n_items))
+    for alpha in (None, 10.0):
+        m = ALS(rank=k, reg=0.05, alpha=alpha, n_sweeps=4, seed=0,
+                max_bucket=16, solver="xla", platform="cpu").fit(R)
+        assert m.history_[-1] < m.history_[0]
+        assert np.isfinite(m.history_).all()
+
+
+@pytest.mark.parametrize("dense_whales", [True, False])
+def test_whale_half_sweep_matches_dense(rng, dense_whales):
+    """A whale row (degree > max_bucket) must solve to exactly the same
+    normal-equations solution as the dense computation — on BOTH whale
+    paths: the dense gramian block and the wide chunk-scanned bucket."""
     import jax.numpy as jnp
     from recommendation_models_tpu.config import DataConfig, SolveConfig
     from recommendation_models_tpu.data.layout import layout_from_coo
@@ -140,9 +185,14 @@ def test_whale_split_half_sweep_matches_dense(rng):
     cols = np.concatenate([np.arange(150),
                            rng.integers(150, n_items, 4 * (n_users - 1))])
     vals = rng.uniform(1, 5, rows.shape[0]).astype(np.float32)
-    layout = layout_from_coo(rows, cols, vals, n_users, n_items,
-                             config=DataConfig(max_bucket=32))
-    assert max(b.pad for b in layout.buckets) <= 32
+    layout = layout_from_coo(
+        rows, cols, vals, n_users, n_items,
+        config=DataConfig(max_bucket=32, dense_whales=dense_whales))
+    if dense_whales:
+        np.testing.assert_array_equal(layout.dense_ids, [0])
+    else:
+        whale_pad = max(b.pad for b in layout.buckets)
+        assert whale_pad >= 150 and whale_pad % 32 == 0
     V = jnp.asarray(rng.standard_normal((n_items, k)), jnp.float32)
     cfg = SolveConfig(rank=k, reg=0.1, solver="xla",
                       compute_dtype="float32")

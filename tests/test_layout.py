@@ -45,22 +45,54 @@ def test_bucket_shapes_are_aligned_and_bounded():
         assert (degs <= b.pad).all()
 
 
-def test_whale_rows_split_into_segments():
-    # one row with degree 300, max_bucket 64 -> ceil(300/64) = 5 segments
-    # (4 full at pad 64, one of degree 44 at pad 64), all with row id 0,
-    # covering every observation exactly once.
+def test_whale_rows_go_dense():
+    # one row with degree 300, max_bucket 64 -> the row moves to the DENSE
+    # gramian block: its ratings live in a (1, n_cols) dense matrix and it
+    # appears in no gather bucket.
+    rows = np.zeros(300, np.int64)
+    cols = np.arange(300)
+    vals = (np.arange(300) + 1).astype(np.float32)
+    cfg = DataConfig(max_bucket=64)
+    layout = layout_from_coo(rows, cols, vals, 1, 300, config=cfg)
+    np.testing.assert_array_equal(layout.dense_ids, [0])
+    np.testing.assert_allclose(layout.dense_vals[0], vals)
+    assert not any((b.row_ids == 0).any() for b in layout.buckets)
+
+
+def test_whale_rows_stay_whole_without_dense():
+    # with the dense block disabled (sharded execution), the whale stays
+    # WHOLE in a wide max_bucket-aligned bucket — row ids stay unique.
     rows = np.zeros(300, np.int64)
     cols = np.arange(300)
     vals = np.arange(300).astype(np.float32)
-    cfg = DataConfig(max_bucket=64)
+    cfg = DataConfig(max_bucket=64, dense_whales=False)
     layout = layout_from_coo(rows, cols, vals, 1, 300, config=cfg)
-    assert all(b.pad <= 64 for b in layout.buckets)
+    assert layout.dense_ids is None
     seg_rows = np.concatenate([b.row_ids[b.row_ids < 1]
                                for b in layout.buckets])
-    assert seg_rows.shape[0] == 5 and (seg_rows == 0).all()
+    assert seg_rows.shape[0] == 1 and (seg_rows == 0).all()
+    whale = [b for b in layout.buckets if (b.row_ids == 0).any()][0]
+    assert whale.pad >= 300 and whale.pad % 64 == 0
     got = np.concatenate([b.values[b.mask > 0].ravel()
                           for b in layout.buckets])
     np.testing.assert_array_equal(np.sort(got), vals)
+
+
+def test_row_ids_unique_across_buckets_and_dense():
+    # heavy-tailed degrees: every real row id appears exactly once, in
+    # either a gather bucket or the dense block
+    rng = np.random.default_rng(11)
+    rows = np.repeat(np.arange(40), np.minimum(
+        (rng.pareto(1.0, 40) * 10 + 1).astype(int), 400))
+    cols = np.concatenate([rng.choice(500, size=(rows == r).sum(),
+                                      replace=False) for r in range(40)])
+    vals = np.ones_like(cols, np.float32)
+    layout = layout_from_coo(rows, cols, vals, 40, 500,
+                             config=DataConfig(max_bucket=16))
+    seen = np.concatenate(
+        [b.row_ids[b.row_ids < 40] for b in layout.buckets]
+        + ([layout.dense_ids] if layout.dense_ids is not None else []))
+    assert sorted(seen.tolist()) == list(range(40))
 
 
 def test_empty_rows_kept():
