@@ -84,6 +84,13 @@ class DataConfig:
     # zero ratings there are treated as unobserved.
     dense_whales: bool = True
     dense_budget_mb: int = 2048
+    # Rows with MORE than this many observations go to the dense block
+    # (budget permitting, densest first). None => only rows wider than
+    # max_bucket (the pre-round-1 behavior). Default 512: profiling showed
+    # any bucket wide enough to need the chunked-gram lax.scan is faster as
+    # one dense MXU matmul (break-even degree is ~200 at ML-25M shapes,
+    # ~500 with the dense block's HBM traffic included).
+    dense_min_degree: Optional[int] = 512
     # Pad each bucket's row count to a multiple of this (sublane alignment).
     row_multiple: int = 8
     # Cap on padding blowup before a row is split across chunks internally.

@@ -129,13 +129,17 @@ def build_layout(
     dense_ids = dense_vals = None
     is_dense = np.zeros(n_rows, bool)
     if getattr(cfg, "dense_whales", False):
-        cap = max((cfg.dense_budget_mb * (1 << 20)) // (max(n_cols, 1) * 4), 0)
-        cand = np.flatnonzero(degrees > S)
+        # dense_vals is float16 (exact for half-star ratings; it only ever
+        # feeds bf16/f32 matmul inputs) — halves HBM and doubles the budget.
+        cap = max((cfg.dense_budget_mb * (1 << 20)) // (max(n_cols, 1) * 2), 0)
+        thr = getattr(cfg, "dense_min_degree", None)
+        thr = S if thr is None else min(int(thr), S)
+        cand = np.flatnonzero(degrees > thr)
         if cand.size and cap > 0:
             cand = cand[np.argsort(-degrees[cand], kind="stable")][:cap]
             dense_ids = np.sort(cand).astype(np.int32)
             is_dense[dense_ids] = True
-            dense_vals = np.zeros((dense_ids.shape[0], n_cols), np.float32)
+            dense_vals = np.zeros((dense_ids.shape[0], n_cols), np.float16)
             for w, r in enumerate(dense_ids):
                 lo, hi = indptr[r], indptr[r + 1]
                 dense_vals[w, indices[lo:hi]] = data[lo:hi]

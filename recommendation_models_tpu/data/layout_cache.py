@@ -17,7 +17,7 @@ import numpy as np
 
 from recommendation_models_tpu.data.layout import Bucket, PaddedLayout
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3  # v3: dense_vals float16, dense_min_degree selection
 
 
 def save_layout(path: str, layout: PaddedLayout) -> str:

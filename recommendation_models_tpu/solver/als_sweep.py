@@ -84,33 +84,45 @@ def _split_dense(buckets):
     return gathered, (dense[0] if dense else None)
 
 
-def dense_gram_rhs(V, vals, alpha, compute_dtype, col_chunk: int = 65_536):
-    """Normal equations for the dense-whale block via the dense gramian:
+def dense_gram_rhs(V, vals, alpha, compute_dtype, col_chunk: int = 32_768):
+    """Normal equations for the dense block via the dense gramian:
     ``G_w = V^T diag(wg_w) V`` computed as ONE (W, n) x (n, k^2) MXU matmul
     against the outer-product feature matrix ``P[n] = vec(V_n V_n^T)`` —
-    no gathers (rows this dense touch most of V anyway; the matmul runs at
-    MXU rate while a gathered bucket of 8-128 whales is latency-bound).
+    no gathers (the matmul runs at MXU rate while a gathered wide bucket is
+    gather-latency-bound; measured break-even degree is a few hundred).
 
-    ``vals`` is (W, n) with 0 = unobserved. Columns are processed in
-    ``col_chunk`` blocks so P never exceeds ~0.5 GB in bf16.
+    ``vals`` is (W, n), float16, with 0 = unobserved. Columns are processed
+    in ``col_chunk`` blocks, and the observation mask / objective weights are
+    derived per block, so no (W, n) float32 temp ever materializes (at
+    dense_min_degree=512 scale W is thousands of rows — a full-width f32
+    mask would be GBs).
+
+    Returns (G (W, k^2), rhs (W, k), deg (W,), r2 scalar) where deg is the
+    per-row observation count and r2 = sum of mask * vals^2 (the explicit
+    objective's residual constant).
     """
     k = V.shape[-1]
     n = V.shape[0]
     w = vals.shape[0]
-    mask = (vals != 0).astype(jnp.float32)
-    wg, wr = objective_weights(vals, mask, alpha)
     Vc = V.astype(compute_dtype)
     G = jnp.zeros((w, k * k), jnp.float32)
     rhs = jnp.zeros((w, k), jnp.float32)
+    deg = jnp.zeros((w,), jnp.float32)
+    r2 = jnp.zeros((), jnp.float32)
     for s in range(0, n, col_chunk):
         e = min(s + col_chunk, n)
+        v_c = vals[:, s:e].astype(jnp.float32)
+        m_c = (v_c != 0).astype(jnp.float32)
+        wg, wr = objective_weights(v_c, m_c, alpha)
         Vs = Vc[s:e]
         P = (Vs[:, :, None] * Vs[:, None, :]).reshape(e - s, k * k)
-        G = G + jnp.matmul(wg[:, s:e].astype(compute_dtype), P,
+        G = G + jnp.matmul(wg.astype(compute_dtype), P,
                            preferred_element_type=jnp.float32)
-        rhs = rhs + jnp.matmul(wr[:, s:e].astype(compute_dtype), Vs,
+        rhs = rhs + jnp.matmul(wr.astype(compute_dtype), Vs,
                                preferred_element_type=jnp.float32)
-    return G, rhs, mask
+        deg = deg + m_c.sum(-1)
+        r2 = r2 + jnp.sum(m_c * v_c * v_c)
+    return G, rhs, deg, r2
 
 
 def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
@@ -140,18 +152,18 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
     r2 = xr = xx = jnp.zeros((), jnp.float32)
     g0_flat = None if g0 is None else g0.reshape(-1).astype(jnp.float32)
     if dense is not None:
-        G, rhs, dmask = dense_gram_rhs(V, dense["dense_vals"], cfg.alpha,
-                                       dtype)
+        G, rhs, ddeg, dr2 = dense_gram_rhs(V, dense["dense_vals"], cfg.alpha,
+                                           dtype)
         if g0_flat is not None:
             G = G + g0_flat
         if cfg.reg_by_degree:
-            reg_vec = cfg.reg * jnp.maximum(dmask.sum(-1), 1.0)
+            reg_vec = cfg.reg * jnp.maximum(ddeg, 1.0)
         else:
             reg_vec = jnp.full((G.shape[0],), cfg.reg, jnp.float32)
         x = solve_spd_flat(G, rhs, k, cfg.solver, reg_vec=reg_vec)
         U = U.at[dense["dense_ids"]].set(x, mode="drop")
         if with_sse:
-            r2 = r2 + jnp.sum(dmask * dense["dense_vals"] ** 2)
+            r2 = r2 + dr2
             xr = xr + jnp.einsum("bk,bk->", x, rhs,
                                  preferred_element_type=jnp.float32)
             xx = xx + jnp.einsum("b,bk,bk->", reg_vec, x, x,
@@ -277,15 +289,17 @@ def masked_sse(
     buckets, dense = _split_dense(buckets)
     total = jnp.zeros((), jnp.float32)
     if dense is not None:
-        vals = dense["dense_vals"]                     # (W, n_cols)
+        vals = dense["dense_vals"]                     # (W, n_cols) f16
         Ud = jnp.take(U, dense["dense_ids"], axis=0, mode="fill",
                       fill_value=0.0)
         n = V.shape[0]
-        for s in range(0, n, 65_536):
-            e = min(s + 65_536, n)
+        # 16k column chunks keep the (W, chunk) f32 pred temp bounded even
+        # at the dense-budget cap (W can be tens of thousands of rows).
+        for s in range(0, n, 16_384):
+            e = min(s + 16_384, n)
             pred = jnp.einsum("wk,nk->wn", Ud, V[s:e],
                               preferred_element_type=jnp.float32)
-            v = vals[:, s:e]
+            v = vals[:, s:e].astype(jnp.float32)
             total = total + jnp.sum(jnp.where(v != 0, (v - pred) ** 2, 0.0))
 
     def block_sse(rid_b, idx_b, val_b, msk_b, chunk):
