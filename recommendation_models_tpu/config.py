@@ -91,6 +91,21 @@ class DataConfig:
     # one dense MXU matmul (break-even degree is ~200 at ML-25M shapes,
     # ~500 with the dense block's HBM traffic included).
     dense_min_degree: Optional[int] = 512
+    # Dense hot-column block: up to this many of the most popular columns'
+    # observations leave the gather buckets for per-bucket (B, C) f16 slabs
+    # whose gram contribution is one MXU matmul against the C outer
+    # products (the transpose of the whale trick — targets the Zipf HEAD).
+    # 0 disables (required for sharded execution). Default OFF: at ML-25M
+    # rank-64 the gather savings (~35 ms/epoch) measured BELOW the cost of
+    # materializing the (k^2, B) hot gram + XLA layout taxes in every
+    # XLA-level formulation (post-add / einsum-init / second solve-kernel
+    # operand: 0.39-0.42 s/epoch vs 0.374 without).
+    hot_cols: int = 0
+    # A column qualifies as hot when its observation count reaches this.
+    # None => auto max(n_rows // 64, 32): the break-even count where one
+    # column's slab matmul cost (n_rows * k^2 * 2 / peak) equals the gather
+    # cost of its observations (~5.7 ns each) at k=64 on v5e.
+    hot_min_count: Optional[int] = None
     # Pad each bucket's row count to a multiple of this (sublane alignment).
     row_multiple: int = 8
     # Cap on padding blowup before a row is split across chunks internally.

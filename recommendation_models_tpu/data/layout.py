@@ -43,6 +43,9 @@ class Bucket:
     indices: np.ndarray      # (B, P) int32, 0 where padded
     values: np.ndarray       # (B, P) float32, 0 where padded
     mask: np.ndarray         # (B, P) float32, 1 real / 0 pad
+    # (B, C) float16 ratings of this bucket's rows against the layout's hot
+    # columns (PaddedLayout.hot_ids), 0 = unobserved; None when no hot block.
+    hot_vals: Optional[np.ndarray] = None
 
     @property
     def n_rows(self) -> int:
@@ -57,6 +60,15 @@ class PaddedLayout:
     the dense gramian matmul, config.DataConfig.dense_whales): ids (W,) and
     a dense (W, n_cols) value matrix (0 = unobserved). These rows appear in
     NO bucket.
+
+    ``hot_ids`` holds the dense-HOT-COLUMN block (config.DataConfig.
+    hot_cols): the C most popular columns, whose observations are removed
+    from every bucket's index/value blocks and stored densely per bucket as
+    ``Bucket.hot_vals`` (B, C). Their gram contribution is one MXU matmul
+    against the C outer products — the transpose of the whale-row trick,
+    targeting the Zipf HEAD of the column-popularity distribution the way
+    dense rows target the degree tail. Dense-block rows keep their hot
+    columns inside ``dense_vals`` (their hot_vals rows are zero).
     """
 
     n_rows: int
@@ -65,6 +77,7 @@ class PaddedLayout:
     buckets: Tuple[Bucket, ...]
     dense_ids: Optional[np.ndarray] = None
     dense_vals: Optional[np.ndarray] = None
+    hot_ids: Optional[np.ndarray] = None
 
     @property
     def padded_slots(self) -> int:
@@ -72,13 +85,15 @@ class PaddedLayout:
 
     def padding_waste(self) -> float:
         """Fraction of padded slots that are padding (FLOP waste estimate;
-        bucketed rows only — the dense block has no padding concept)."""
+        bucketed rows only — the dense/hot blocks have no padding concept)."""
         tot = self.padded_slots
         if not tot:
             return 0.0
         dense_nnz = (np.count_nonzero(self.dense_vals)
                      if self.dense_vals is not None else 0)
-        return 1.0 - (self.nnz - dense_nnz) / tot
+        hot_nnz = sum(int(np.count_nonzero(b.hot_vals))
+                      for b in self.buckets if b.hot_vals is not None)
+        return 1.0 - (self.nnz - dense_nnz - hot_nnz) / tot
 
 
 @dataclasses.dataclass
@@ -144,6 +159,43 @@ def build_layout(
                 lo, hi = indptr[r], indptr[r + 1]
                 dense_vals[w, indices[lo:hi]] = data[lo:hi]
 
+    # Dense hot-column block: the C most popular columns' observations move
+    # out of the gather buckets into per-bucket (B, C) f16 slabs. Gathers
+    # are index-processing-bound (~175M rows/s, locality/dtype-invariant,
+    # scripts/ablate_gather.py), so a column is worth densifying when its
+    # count exceeds the per-column slab cost: n_rows * k^2 * 2 / peak_flops
+    # over the per-obs gather cost — about n_rows/64 at k=64 on v5e.
+    hot_ids = None
+    hot_slab = None
+    row_of_obs = None
+    if getattr(cfg, "hot_cols", 0):
+        row_of_obs = np.repeat(np.arange(n_rows, dtype=np.int64), degrees)
+        nd_obs = ~is_dense[row_of_obs] if is_dense.any() else slice(None)
+        counts = np.bincount(indices[nd_obs], minlength=n_cols)
+        thr = getattr(cfg, "hot_min_count", None)
+        thr = max(n_rows // 64, 32) if thr is None else int(thr)
+        cand = np.flatnonzero(counts >= thr)
+        if cand.size >= 8:
+            cand = cand[np.argsort(-counts[cand], kind="stable")]
+            C = min(int(cfg.hot_cols), cand.size) // 8 * 8
+            hot_ids = np.sort(cand[:C]).astype(np.int32)
+            hot_rank = np.full(n_cols, -1, np.int64)
+            hot_rank[hot_ids] = np.arange(C)
+            obs_rank = hot_rank[indices]
+            is_hot_obs = (obs_rank >= 0) & ~is_dense[row_of_obs]
+            # (n_rows+1, C): the extra zero row backs sentinel row ids
+            hot_slab = np.zeros((n_rows + 1, C), np.float16)
+            hot_slab[row_of_obs[is_hot_obs], obs_rank[is_hot_obs]] = \
+                data[is_hot_obs]
+            # residual CSR: everything except hot obs of non-dense rows
+            keep = ~is_hot_obs
+            indices = indices[keep]
+            data = data[keep]
+            degrees = np.bincount(row_of_obs[keep], minlength=n_rows
+                                  ).astype(np.int64)
+            indptr = np.concatenate(
+                [np.zeros(1, np.int64), np.cumsum(degrees)])
+
     # Bucket widths form a geometric grid (ratio cfg.bucket_growth) between
     # min_bucket and S (8-aligned), then CONTINUE past S (S-aligned) so whale
     # rows stay whole in a few wide bucket classes: a whale's gram is chunk-
@@ -196,12 +248,14 @@ def build_layout(
             val[rowpos, within] = data[src]
             msk[rowpos, within] = 1.0
 
-        buckets.append(Bucket(pad=pad, row_ids=row_ids, indices=idx,
-                              values=val, mask=msk))
+        buckets.append(Bucket(
+            pad=pad, row_ids=row_ids, indices=idx, values=val, mask=msk,
+            hot_vals=None if hot_slab is None else hot_slab[row_ids]))
 
     return PaddedLayout(n_rows=n_rows, n_cols=n_cols, nnz=nnz,
                         buckets=tuple(buckets),
-                        dense_ids=dense_ids, dense_vals=dense_vals)
+                        dense_ids=dense_ids, dense_vals=dense_vals,
+                        hot_ids=hot_ids)
 
 
 def layout_from_coo(
@@ -268,6 +322,10 @@ def shard_layout(layout: PaddedLayout, n_shards: int,
             "shard_layout: layout has a dense-whale block; build the layout "
             "with DataConfig(dense_whales=False) for sharded execution "
             "(wide buckets handle whales there)")
+    if layout.hot_ids is not None:
+        raise ValueError(
+            "shard_layout: layout has a hot-column block; build the layout "
+            "with DataConfig(hot_cols=0) for sharded execution")
     rows_per_shard = -(-layout.n_rows // n_shards)
     pads, all_rid, all_idx, all_val, all_msk = [], [], [], [], []
     for b in layout.buckets:

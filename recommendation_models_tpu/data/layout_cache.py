@@ -17,7 +17,9 @@ import numpy as np
 
 from recommendation_models_tpu.data.layout import Bucket, PaddedLayout
 
-_FORMAT_VERSION = 3  # v3: dense_vals float16, dense_min_degree selection
+# v3: dense_vals float16, dense_min_degree selection
+# v4: hot-column block (hot_ids + per-bucket hot_vals)
+_FORMAT_VERSION = 4
 
 
 def save_layout(path: str, layout: PaddedLayout) -> str:
@@ -30,11 +32,15 @@ def save_layout(path: str, layout: PaddedLayout) -> str:
     if layout.dense_ids is not None:
         arrays["dense_ids"] = layout.dense_ids
         arrays["dense_vals"] = layout.dense_vals
+    if layout.hot_ids is not None:
+        arrays["hot_ids"] = layout.hot_ids
     for i, b in enumerate(layout.buckets):
         arrays[f"rid_{i}"] = b.row_ids
         arrays[f"idx_{i}"] = b.indices
         arrays[f"val_{i}"] = b.values
         arrays[f"msk_{i}"] = b.mask.astype(np.uint8)  # 4x smaller on disk
+        if b.hot_vals is not None:
+            arrays[f"hv_{i}"] = b.hot_vals
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
@@ -59,13 +65,17 @@ def load_layout(path: str, mmap: bool = False) -> PaddedLayout:
                row_ids=np.asarray(z[f"rid_{i}"]),
                indices=np.asarray(z[f"idx_{i}"]),
                values=np.asarray(z[f"val_{i}"]),
-               mask=np.asarray(z[f"msk_{i}"]).astype(np.float32))
+               mask=np.asarray(z[f"msk_{i}"]).astype(np.float32),
+               hot_vals=(np.asarray(z[f"hv_{i}"])
+                         if f"hv_{i}" in z.files else None))
         for i in range(n_buckets))
     dense_ids = np.asarray(z["dense_ids"]) if "dense_ids" in z.files else None
     dense_vals = np.asarray(z["dense_vals"]) if "dense_vals" in z.files else None
+    hot_ids = np.asarray(z["hot_ids"]) if "hot_ids" in z.files else None
     return PaddedLayout(n_rows=n_rows, n_cols=n_cols, nnz=nnz,
                         buckets=buckets,
-                        dense_ids=dense_ids, dense_vals=dense_vals)
+                        dense_ids=dense_ids, dense_vals=dense_vals,
+                        hot_ids=hot_ids)
 
 
 def cached_layout(path: Optional[str],

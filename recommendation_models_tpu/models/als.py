@@ -224,7 +224,7 @@ class ALS(BaseEstimator):
         from recommendation_models_tpu.ops.pallas.cholesky import block_batch
         # sharded execution keeps whales on the wide-bucket path (the dense
         # block would need the full opposite table on every shard)
-        dcfg = dataclasses.replace(dcfg, dense_whales=False)
+        dcfg = dataclasses.replace(dcfg, dense_whales=False, hot_cols=0)
         ul, il = self._build_layouts(indptr, indices, data, n_users, n_items,
                                      dcfg)
         user_layout = shard_layout(ul, self.n_shards,

@@ -182,8 +182,9 @@ class IMC(BaseEstimator):
         from recommendation_models_tpu.solver.als_sweep import device_buckets
 
         # IMC's gram consumer iterates gather buckets only — build without
-        # the ALS dense-whale block (wide buckets handle whale rows here)
-        dcfg = DataConfig(dense_whales=False)
+        # the ALS dense-whale / hot-column blocks (wide buckets handle
+        # whale rows here)
+        dcfg = DataConfig(dense_whales=False, hot_cols=0)
         user_layout = layout_from_coo(users, items, ratings, n_users, n_items,
                                       config=dcfg)
         item_layout = layout_from_coo(users, items, ratings, n_users, n_items,

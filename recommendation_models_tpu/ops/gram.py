@@ -88,6 +88,7 @@ def gram_rhs_t(
     wr: jnp.ndarray,         # (B, P) rhs weights*targets (0 on padding)
     chunk: int = 512,
     compute_dtype: jnp.dtype = jnp.float32,
+    init=None,
 ):
     """Batch-MINOR gram: returns ``G (k, k, B)`` and ``rhs (k, B)`` — the
     exact layout the Pallas solve kernel consumes.
@@ -97,6 +98,15 @@ def gram_rhs_t(
     transposing afterwards costs a separate whole-array relayout pass
     (~35 ms per ML-25M half-sweep, measured) because the (…, k, k) result
     pads its minor dim to the 128-lane tile.
+
+    ``init``: optional (G0 (k,k,B), rhs0 (k,B)) starting accumulators (the
+    hot-column contribution). When given, the P axis is ALWAYS scan-chunked
+    (at least 2 chunks): accumulating into the lax.scan carry pins the
+    carry's klb layout, which forces the dot to emit klb directly and folds
+    the G0 add into the loop — every XLA-level alternative (post-add, init
+    of a single fused accumulate, a second custom-call operand) either
+    re-introduced a (B,k,k)-major materialize+copy+transpose chain
+    (~26 ms/big ML-25M bucket) or blew the kernel's scoped-vmem limit.
     """
     b, p = indices.shape
     k = V.shape[-1]
@@ -112,9 +122,15 @@ def gram_rhs_t(
                                preferred_element_type=jnp.float32)
         return G, rhs
 
+    if init is not None and p > 8:
+        half = -(-p // 2)
+        chunk = min(chunk, -(-half // 8) * 8)  # >= 2 chunks, 8-aligned
     if p <= chunk:
-        G = jnp.zeros((k, k, b), jnp.float32)
-        rhs = jnp.zeros((k, b), jnp.float32)
+        if init is None:
+            G = jnp.zeros((k, k, b), jnp.float32)
+            rhs = jnp.zeros((k, b), jnp.float32)
+        else:
+            G, rhs = init
         return accumulate(indices, wg, wr, G, rhs)
 
     idx_ch = _chunk3(indices, chunk)
@@ -126,9 +142,10 @@ def gram_rhs_t(
         idx_c, wg_c, wr_c = xs
         return accumulate(idx_c, wg_c, wr_c, G, rhs), None
 
-    init = match_vma(
-        (jnp.zeros((k, k, b), jnp.float32), jnp.zeros((k, b), jnp.float32)),
-        (V, indices, wg, wr))
+    if init is None:
+        init = (jnp.zeros((k, k, b), jnp.float32),
+                jnp.zeros((k, b), jnp.float32))
+    init = match_vma(init, (V, indices, wg, wr))
     (G, rhs), _ = jax.lax.scan(body, init, (idx_ch, wg_ch, wr_ch))
     return G, rhs
 

@@ -172,6 +172,31 @@ def _cholesky_solve_kernel(g_ref, rhs_ref, reg_ref, out_ref, a_ref, y_ref,
     # G may arrive bf16 (half the HBM read); factorization is f32 in VMEM
     a_ref[:] = (g_ref[:].astype(jnp.float32)
                 + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
+    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref)
+
+
+def _cholesky_solve_kernel_2g(g_ref, g2_ref, rhs_ref, reg_ref, out_ref,
+                              a_ref, y_ref, x_ref):
+    """Two-operand variant: ``A = G1 + G2 + reg I`` summed in VMEM on load.
+
+    Exists so callers with an extra additive gram term (the hot-column
+    contribution, solver/als_sweep.py) never materialize ``G1 + G2`` in
+    HBM: the custom call pins BOTH operands to the batch-minor layout, so
+    each producing matmul emits its natural layout and XLA inserts no
+    relayout copies (a plain ``G1 + G2`` in XLA broke the gram einsum's
+    klb epilogue fold and cost ~26 ms per ML-25M bucket, measured).
+    """
+    k, _, bt = a_ref.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
+    a_ref[:] = (g_ref[:].astype(jnp.float32) + g2_ref[:].astype(jnp.float32)
+                + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
+    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref)
+
+
+def _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref):
+    """Shared rank-1 factorization + substitutions over a loaded A block."""
+    k, _, bt = a_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
 
@@ -233,14 +258,28 @@ def _cholesky_solve_kernel(g_ref, rhs_ref, reg_ref, out_ref, a_ref, y_ref,
 @functools.partial(jax.jit, static_argnames=("interpret", "panel"))
 def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
                       interpret: bool = False,
-                      panel: bool = True) -> jnp.ndarray:
+                      panel: bool = True,
+                      Gt2: jnp.ndarray = None) -> jnp.ndarray:
     """Batch-minor entry: Gt (k, k, B) (ridge NOT yet added), rhst (k, B),
     regv (1, B) per-system ridge -> x (k, B).
+
+    ``Gt2``: optional second (k, k, B) gram term summed with Gt in VMEM on
+    load (see _cholesky_solve_kernel_2g). Forces panel=False.
 
     B must already be a multiple of the block size.
     """
     k, _, b = Gt.shape
-    bt = min(_block_batch(k), b)
+    bt = _block_batch(k)
+    if Gt2 is not None:
+        # two double-buffered (k, k, bt) operands + the factorization
+        # scratch must fit the ~16 MB scoped-vmem check (the check applies
+        # even with vmem_limit_bytes raised, measured) — halve the block.
+        # NOTE: this costs ~40% solve time vs one operand (k sequential
+        # factorization steps per block run twice as often); the ALS sweep
+        # therefore folds its hot-column gram via the gram scan's initial
+        # carry instead of this operand (solver/als_sweep.py).
+        bt = max(bt // 2, 8)
+    bt = min(bt, b)
     grid = (b // bt,)
     # Inside shard_map the output must declare how it varies over mesh axes
     # (it varies exactly like the inputs: each shard solves its own systems).
@@ -252,12 +291,21 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
             if not getattr(jax.typeof(regv), "vma", None) else regv
     else:
         out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
+    g_spec = pl.BlockSpec((k, k, bt), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    if Gt2 is not None:
+        kernel = _cholesky_solve_kernel_2g
+        operands = (Gt, Gt2, rhst, regv)
+        g_specs = [g_spec, g_spec]
+    else:
+        kernel = _cholesky_solve_kernel_panel if panel \
+            else _cholesky_solve_kernel
+        operands = (Gt, rhst, regv)
+        g_specs = [g_spec]
     return pl.pallas_call(
-        _cholesky_solve_kernel_panel if panel else _cholesky_solve_kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((k, k, bt), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+        in_specs=g_specs + [
             pl.BlockSpec((k, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt), lambda i: (0, i),
@@ -273,17 +321,18 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
         ] + ([
             pltpu.VMEM((k, 8, bt), jnp.float32),   # panel columns c
             pltpu.VMEM((8, k, bt), jnp.float32),   # panel rows c^T
-        ] if panel else []),
+        ] if (panel and Gt2 is None) else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * k * k * k * b + 4 * k * k * b,
-            bytes_accessed=(k * k * b + 3 * k * b) * 4,
+            bytes_accessed=((2 if Gt2 is not None else 1) * k * k * b
+                            + 3 * k * b) * 4,
             transcendentals=k * b,
         ),
         interpret=interpret,
-    )(Gt, rhst, regv)
+    )(*operands)
 
 
 def cholesky_solve_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,

@@ -93,7 +93,8 @@ def solve_spd_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
 
 
 def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
-                solver: str = "auto", reg_vec=None) -> jnp.ndarray:
+                solver: str = "auto", reg_vec=None,
+                Gt2: jnp.ndarray = None) -> jnp.ndarray:
     """Solve with BATCH-MINOR systems: Gt (k, k, B), rhst (k, B) -> x (k, B).
 
     This is the Pallas kernel's native layout — producing it straight from
@@ -104,6 +105,12 @@ def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
     ``reg_vec`` (B,): per-system ridge (fused with the load on the Pallas
     path). The batch is padded to a sublane multiple if needed; padding
     systems solve against the identity.
+
+    ``Gt2``: optional second (k, k, B) additive gram term (the hot-column
+    contribution). On the Pallas path it is summed in VMEM inside the
+    kernel so XLA never materializes ``Gt + Gt2`` in HBM (an XLA-level add
+    between two big matmul outputs forces relayout copies, measured ~26 ms
+    per ML-25M bucket); fallbacks add normally.
     """
     k, _, b = Gt.shape
     if reg_vec is None:
@@ -124,10 +131,16 @@ def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
                                                               ].astype(Gt.dtype)
             rhst = jnp.pad(rhst, ((0, 0), (0, bp - b)))
             regv = jnp.pad(regv, ((0, 0), (0, bp - b)))
+            if Gt2 is not None:
+                Gt2 = jnp.pad(Gt2, ((0, 0), (0, 0), (0, bp - b)))
         x = _cholesky_solve_t(Gt.astype(jnp.float32),
                               rhst.astype(jnp.float32), regv,
-                              interpret=_use_interpret(), panel=False)
+                              interpret=_use_interpret(), panel=False,
+                              Gt2=None if Gt2 is None
+                              else Gt2.astype(jnp.float32))
         return x[:, :b]
+    if Gt2 is not None:
+        Gt = Gt + Gt2
     G = jnp.transpose(Gt, (2, 0, 1)).astype(jnp.float32)
     if reg_vec is not None:
         G = G + (regv[0][:, None, None] * jnp.eye(k, dtype=G.dtype))

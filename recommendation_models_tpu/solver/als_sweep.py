@@ -53,6 +53,7 @@ def device_buckets(layout: PaddedLayout,
     out = []
     for b in layout.buckets:
         rid, idx, val, msk = b.row_ids, b.indices, b.values, b.mask
+        hv = getattr(b, "hot_vals", None)
         n, p = idx.shape
         mult = row_multiple if n >= row_multiple else 8
         np_rows = -(-n // mult) * mult
@@ -63,25 +64,37 @@ def device_buckets(layout: PaddedLayout,
             idx = np.concatenate([idx, np.zeros((pad, p), idx.dtype)])
             val = np.concatenate([val, np.zeros((pad, p), val.dtype)])
             msk = np.concatenate([msk, np.zeros((pad, p), msk.dtype)])
-        out.append(dict(
+            if hv is not None:
+                hv = np.concatenate(
+                    [hv, np.zeros((pad, hv.shape[1]), hv.dtype)])
+        d = dict(
             row_ids=jnp.asarray(rid),
             indices=jnp.asarray(idx),
             values=jnp.asarray(val),
             mask=jnp.asarray(msk),
-        ))
+        )
+        if hv is not None:
+            d["hot_vals"] = jnp.asarray(hv)
+        out.append(d)
     if getattr(layout, "dense_ids", None) is not None:
         out.append(dict(
             dense_ids=jnp.asarray(layout.dense_ids),
             dense_vals=jnp.asarray(layout.dense_vals),
         ))
+    if getattr(layout, "hot_ids", None) is not None:
+        out.append(dict(hot_ids=jnp.asarray(layout.hot_ids)))
     return tuple(out)
 
 
-def _split_dense(buckets):
-    """Separate the dense-whale block (if any) from the gather buckets."""
+def _split_special(buckets):
+    """Separate the dense-whale block and the hot-column id entry (if any)
+    from the gather buckets."""
     dense = [b for b in buckets if "dense_vals" in b]
-    gathered = tuple(b for b in buckets if "dense_vals" not in b)
-    return gathered, (dense[0] if dense else None)
+    hot = [b for b in buckets if "hot_ids" in b]
+    gathered = tuple(b for b in buckets
+                     if "dense_vals" not in b and "hot_ids" not in b)
+    return (gathered, dense[0] if dense else None,
+            hot[0]["hot_ids"] if hot else None)
 
 
 def dense_gram_rhs(V, vals, alpha, compute_dtype, col_chunk: int = 32_768):
@@ -143,7 +156,16 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
     dtype = jnp.dtype(resolve_compute_dtype(cfg.compute_dtype))
     from recommendation_models_tpu.ops.pallas.cholesky import block_batch
     block = block_batch(k)
-    buckets, dense = _split_dense(buckets)
+    buckets, dense, hot_ids = _split_special(buckets)
+    # Hot-column block (layout.py): one outer-product table P_hot (C, k, k)
+    # per half-sweep turns every bucket's hot contribution into a (B, C) x
+    # (C, k^2) MXU matmul. P entries are f32 products rounded once to the
+    # compute dtype — the same rounding class as the gathered bf16 path.
+    hot_V = hot_P = None
+    if hot_ids is not None:
+        vh = jnp.take(V, hot_ids, axis=0).astype(jnp.float32)   # (C, k)
+        hot_P = (vh[:, :, None] * vh[:, None, :]).astype(dtype)  # (C, k, k)
+        hot_V = vh.astype(dtype)
     # G storage must stay f32: bf16-rounded grams (0.4% per entry) can lose
     # positive-definiteness — Cholesky NaNs on near-singular rows (measured).
     # Only the gather/matmul INPUTS run bf16.
@@ -172,13 +194,17 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
     for bucket in buckets:
         wg, wr = objective_weights(bucket["values"], bucket["mask"], cfg.alpha)
         rid = bucket["row_ids"]
+        hv = bucket.get("hot_vals") if hot_P is not None else None
         b, p = bucket["indices"].shape
         # Small-batch WIDE buckets (whales): a 512-chunk scan over a 100k
         # width is hundreds of latency-bound steps doing (8, 512, k) of work
         # each — widen the chunk so every scan step gathers ~32k rows.
         chunk = min(p, max(cfg.chunk, (32_768 // max(b, 1)) // 8 * 8))
         if cfg.reg_by_degree:
-            reg_row = cfg.reg * jnp.maximum(bucket["mask"].sum(-1), 1.0)
+            deg_row = bucket["mask"].sum(-1)
+            if hv is not None:
+                deg_row = deg_row + (hv != 0).astype(jnp.float32).sum(-1)
+            reg_row = cfg.reg * jnp.maximum(deg_row, 1.0)
         else:
             reg_row = jnp.full((b,), cfg.reg, jnp.float32)
         # Row-block big buckets so the gathered (rows, P, k) temp stays
@@ -189,12 +215,26 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         bb = max(block, (cfg.gather_budget_mb * (1 << 20))
                  // (p * k * dtype.itemsize) // block * block)
 
-        def solve_block(idx_b, wg_b, wr_b, reg_b):
+        def solve_block(idx_b, wg_b, wr_b, reg_b, hv_b=None):
             # gram straight to the kernel's batch-minor (k, k, bb) layout:
             # no whole-array transpose between gram and solve (measured
             # ~35 ms/half-sweep at ML-25M otherwise)
+            init = None
+            if hv_b is not None:
+                # hot-column contribution, fed as the gram scan's INITIAL
+                # CARRY: the carry pins the klb layout so the hot add and
+                # the dot's layout fold both come for free (gram_rhs_t
+                # docstring lists the failed alternatives)
+                hv_f = hv_b.astype(jnp.float32)
+                hm = (hv_f != 0).astype(jnp.float32)
+                hwg, hwr = objective_weights(hv_f, hm, cfg.alpha)
+                G0 = jnp.einsum("bc,ckl->klb", hwg.astype(dtype), hot_P,
+                                preferred_element_type=jnp.float32)
+                r0 = jnp.einsum("bc,ck->kb", hwr.astype(dtype), hot_V,
+                                preferred_element_type=jnp.float32)
+                init = (G0, r0)
             Gt, rt = gram_rhs_t(V, idx_b, wg_b, wr_b,
-                                chunk=chunk, compute_dtype=dtype)
+                                chunk=chunk, compute_dtype=dtype, init=init)
             if g0_t is not None:
                 Gt = Gt + g0_t
             xt = solve_spd_t(Gt, rt, cfg.solver, reg_vec=reg_b)  # (k, bb)
@@ -207,7 +247,8 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
             return xt, jnp.float32(0), jnp.float32(0)
 
         if b <= bb:
-            xt, xr_b, xx_b = solve_block(bucket["indices"], wg, wr, reg_row)
+            xt, xr_b, xx_b = solve_block(bucket["indices"], wg, wr, reg_row,
+                                         hv)
             x = jnp.transpose(xt, (1, 0))
             xr, xx = xr + xr_b, xx + xx_b
         else:
@@ -221,6 +262,10 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
                             ).reshape(n_bb, bb)
             rid = jnp.pad(rid, (0, pad), constant_values=n_rows)
             b = n_bb * bb
+            xs = (idx_s, wg_s, wr_s, reg_s)
+            if hv is not None:
+                xs = xs + (jnp.pad(hv, ((0, pad), (0, 0))
+                                   ).reshape(n_bb, bb, hv.shape[1]),)
 
             def body(carry, xs):
                 cxr, cxx = carry
@@ -230,8 +275,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
             init = match_vma((jnp.zeros((), jnp.float32),
                               jnp.zeros((), jnp.float32)),
                              (V, bucket["indices"]))
-            (xr_b, xx_b), x = jax.lax.scan(
-                body, init, (idx_s, wg_s, wr_s, reg_s))
+            (xr_b, xx_b), x = jax.lax.scan(body, init, xs)
             x = x.reshape(b, k)
             xr, xx = xr + xr_b, xx + xx_b
         U = U.at[rid].set(x, mode="drop")
@@ -243,6 +287,9 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
             # dot products over (k, b). Summed over the *item* half-sweep's
             # rows this equals masked_sse(U_new, V_new) (tested).
             r2 = r2 + jnp.sum(bucket["mask"] * bucket["values"] ** 2)
+            if hv is not None:
+                hv_f = hv.astype(jnp.float32)
+                r2 = r2 + jnp.sum(jnp.where(hv_f != 0, hv_f * hv_f, 0.0))
     if not with_sse:
         return U, None
     return U, r2 - xr - xx
@@ -286,7 +333,8 @@ def masked_sse(
     row-blocks (then degree chunks) so the gathered temp stays bounded.
     """
     k = V.shape[-1]
-    buckets, dense = _split_dense(buckets)
+    buckets, dense, hot_ids = _split_special(buckets)
+    hot_V = None if hot_ids is None else jnp.take(V, hot_ids, axis=0)
     total = jnp.zeros((), jnp.float32)
     if dense is not None:
         vals = dense["dense_vals"]                     # (W, n_cols) f16
@@ -302,16 +350,22 @@ def masked_sse(
             v = vals[:, s:e].astype(jnp.float32)
             total = total + jnp.sum(jnp.where(v != 0, (v - pred) ** 2, 0.0))
 
-    def block_sse(rid_b, idx_b, val_b, msk_b, chunk):
+    def block_sse(rid_b, idx_b, val_b, msk_b, chunk, hv_b=None):
         """SSE of one (bb, p) block, degree-chunked."""
         Ug = jnp.take(U, rid_b, axis=0, mode="fill", fill_value=0.0)
+        part0 = jnp.zeros((), jnp.float32)
+        if hv_b is not None:
+            hv_f = hv_b.astype(jnp.float32)
+            pred_h = jnp.einsum("bk,ck->bc", Ug, hot_V,
+                                preferred_element_type=jnp.float32)
+            part0 = jnp.sum(jnp.where(hv_f != 0, (hv_f - pred_h) ** 2, 0.0))
         p = idx_b.shape[1]
         n_chunks = -(-p // chunk)
         if n_chunks <= 1:
             Vg = jnp.take(V, idx_b, axis=0)
             pred = jnp.einsum("bk,bpk->bp", Ug, Vg,
                               preferred_element_type=jnp.float32)
-            return jnp.sum(msk_b * (val_b - pred) ** 2)
+            return part0 + jnp.sum(msk_b * (val_b - pred) ** 2)
         pad = n_chunks * chunk - p
         if pad:
             idx_b = jnp.pad(idx_b, ((0, 0), (0, pad)))
@@ -330,10 +384,11 @@ def masked_sse(
 
         init = match_vma(jnp.zeros((), jnp.float32), (U, V, idx_b))
         part, _ = jax.lax.scan(body, init, (idx_c, val_c, msk_c))
-        return part
+        return part0 + part
 
     for b in buckets:
         idx, val, msk, rid = b["indices"], b["values"], b["mask"], b["row_ids"]
+        hv = b.get("hot_vals") if hot_V is not None else None
         bsz, p = idx.shape
         # widen the chunk for small wide (whale) buckets — same rationale as
         # solve_all_buckets
@@ -341,7 +396,7 @@ def masked_sse(
         bb = max(8, (gather_budget_mb * (1 << 20))
                  // (min(p, chunk_b) * k * 4) // 8 * 8)
         if bsz <= bb:
-            total = total + block_sse(rid, idx, val, msk, chunk_b)
+            total = total + block_sse(rid, idx, val, msk, chunk_b, hv)
             continue
         n_bb = -(-bsz // bb)
         pad = n_bb * bb - bsz
@@ -350,13 +405,16 @@ def masked_sse(
         msk_s = jnp.pad(msk, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
         rid_s = jnp.pad(rid, (0, pad), constant_values=U.shape[0]
                         ).reshape(n_bb, bb)
+        xs = (rid_s, idx_s, val_s, msk_s)
+        if hv is not None:
+            xs = xs + (jnp.pad(hv, ((0, pad), (0, 0))
+                               ).reshape(n_bb, bb, hv.shape[1]),)
 
         def outer(acc, xs):
-            rid_b, idx_b, val_b, msk_b = xs
-            return acc + block_sse(rid_b, idx_b, val_b, msk_b, chunk_b), None
+            return acc + block_sse(*xs[:4], chunk_b, *xs[4:]), None
 
         init = match_vma(jnp.zeros((), jnp.float32), (U, V, idx))
-        part, _ = jax.lax.scan(outer, init, (rid_s, idx_s, val_s, msk_s))
+        part, _ = jax.lax.scan(outer, init, xs)
         total = total + part
     return total
 

@@ -87,7 +87,7 @@ def main():
     ib = device_buckets(il, block_batch(rank))
 
     for tag, bs, layout in (("user", ub, ul), ("item", ib, il)):
-        gathered = [b for b in bs if "dense_vals" not in b]
+        gathered = [b for b in bs if "indices" in b]
         dense = [b for b in bs if "dense_vals" in b]
         tot = sum(int(b["indices"].size) for b in gathered)
         print(f"# {tag}: {len(gathered)} buckets, padded slots {tot:,}"
@@ -125,7 +125,7 @@ def main():
         # reality until this bit)
         acc = jnp.zeros((), jnp.float32)
         for b in bs:
-            if "dense_vals" in b:
+            if "indices" not in b:
                 continue
             if not (p_lo <= b["indices"].shape[1] < p_hi):
                 continue
@@ -174,7 +174,7 @@ def main():
         acc = jnp.zeros((rank,), jnp.float32)
         vb = v.astype(jnp.bfloat16)
         for b in bs:
-            if "dense_vals" in b:
+            if "indices" not in b:
                 continue
             bsz, p = b["indices"].shape
             block = block_batch(rank)
@@ -214,7 +214,7 @@ def main():
         return G, r
 
     n_sys_u = sum(int(b["indices"].shape[0]) for b in ub
-                  if "dense_vals" not in b)
+                  if "indices" in b)
     block = block_batch(rank)
     n_sys_u = -(-n_sys_u // block) * block
     Gu, ru = mk_systems(n_sys_u, jax.random.PRNGKey(0))
@@ -241,7 +241,7 @@ def main():
     # per-bucket solve structure: one solve_spd_t per ITEM bucket size (the
     # item half runs 24 separate small solves — measure their combined
     # latency vs one big batched solve of the same total systems)
-    sizes = [int(b["indices"].shape[0]) for b in ib if "dense_vals" not in b]
+    sizes = [int(b["indices"].shape[0]) for b in ib if "indices" in b]
     Gb, rb = mk_systems(max(sizes), jax.random.PRNGKey(1))
 
     def per_bucket_solve(g, r):
@@ -257,7 +257,7 @@ def main():
                 f"{sum(sizes)} sys)")
 
     # scatter structure: one .at[rid].set per item bucket
-    rids = [b["row_ids"] for b in ib if "dense_vals" not in b]
+    rids = [b["row_ids"] for b in ib if "indices" in b]
     xs = [jnp.ones((int(r.shape[0]), rank), jnp.float32) for r in rids]
 
     def per_bucket_scatter(u0, rids_, xs_):

@@ -38,7 +38,19 @@ def main():
     prof_dir = os.environ.get("PROF_DIR", "/tmp/rmtpu_prof")
     n_users, n_items, _ = SCALES[scale]
 
-    layout = load_layout(os.path.join(cache, f"{scale}_{side}.npz"))
+    path = os.path.join(cache, f"{scale}_{side}.npz")
+    try:
+        layout = load_layout(path)
+    except Exception:
+        from recommendation_models_tpu.data.layout import layout_from_coo
+        from recommendation_models_tpu.data.layout_cache import save_layout
+        from recommendation_models_tpu.data.synthetic import synthetic_ratings
+        users, items, ratings = synthetic_ratings(
+            n_users, n_items, SCALES[scale][2], rank=16, seed=0)
+        os.makedirs(cache, exist_ok=True)
+        layout = layout_from_coo(users, items, ratings, n_users, n_items,
+                                 transpose=(side == "item"))
+        save_layout(path, layout)
     cfg = SolveConfig(rank=rank, reg=0.1, solver="auto", compute_dtype="auto")
     bs = device_buckets(layout, block_batch(rank))
     n_rows = n_users if side == "user" else n_items

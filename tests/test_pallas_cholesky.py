@@ -77,3 +77,24 @@ def test_panel_variant_matches(rng):
         np.asarray(cholesky_solve(G, rhs, panel=True)),
         np.asarray(cholesky_solve(G, rhs, panel=False)),
         rtol=2e-4, atol=2e-4)
+
+
+def test_two_gram_operands_match_summed(rng):
+    """The 2-operand kernel (hot-column gram summed in VMEM on load) must
+    equal solving the pre-summed system."""
+    from recommendation_models_tpu.ops.solve import solve_spd_t
+
+    b, k = 48, 16
+    G1 = _random_spd(rng, b, k)
+    G2 = _random_spd(rng, b, k, jitter=0.1)
+    rhs = rng.standard_normal((b, k)).astype(np.float32)
+    reg = rng.uniform(0.05, 0.2, b).astype(np.float32)
+    G1t = jnp.asarray(np.transpose(G1, (1, 2, 0)))
+    G2t = jnp.asarray(np.transpose(G2, (1, 2, 0)))
+    rt = jnp.asarray(rhs.T)
+    x2 = np.asarray(solve_spd_t(G1t, rt, "pallas", reg_vec=reg, Gt2=G2t))
+    xs = np.asarray(solve_spd_t(G1t + G2t, rt, "pallas", reg_vec=reg))
+    np.testing.assert_allclose(x2, xs, rtol=2e-5, atol=2e-5)
+    # and against the XLA anchor
+    xa = np.asarray(solve_spd_t(G1t, rt, "xla", reg_vec=reg, Gt2=G2t))
+    np.testing.assert_allclose(x2, xa, rtol=2e-4, atol=2e-4)
