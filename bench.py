@@ -197,9 +197,18 @@ def main() -> None:
     users, items, ratings = synthetic_ratings(
         n_users, n_items, n_obs, rank=16, seed=0)
     nnz = ratings.shape[0]
-    user_layout = layout_from_coo(users, items, ratings, n_users, n_items)
+    # BENCH_HOT_COLS=<int> overrides the hot-column dense slab width
+    # (fused solve kernel path); default = the kernel's VMEM cap at this
+    # rank, matching ALS's auto policy.
+    from recommendation_models_tpu.config import DataConfig
+    from recommendation_models_tpu.ops.pallas.cholesky import hot_cols_cap
+    hot = os.environ.get("BENCH_HOT_COLS")
+    dcfg = DataConfig(hot_cols=int(hot) if hot is not None
+                      else hot_cols_cap(rank))
+    user_layout = layout_from_coo(users, items, ratings, n_users, n_items,
+                                  config=dcfg)
     item_layout = layout_from_coo(users, items, ratings, n_users, n_items,
-                                  transpose=True)
+                                  transpose=True, config=dcfg)
     t_data = time.perf_counter() - t0
     print(f"# data: {nnz} obs, layout waste user={user_layout.padding_waste():.2%} "
           f"item={item_layout.padding_waste():.2%}, {t_data:.1f}s",

@@ -57,6 +57,7 @@ class ALS(BaseEstimator):
         init_scale: float = 0.01,
         min_bucket: int = 8,
         max_bucket: int = 4096,
+        hot_cols: Optional[int] = None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
         layout_cache: Optional[str] = None,
@@ -78,6 +79,7 @@ class ALS(BaseEstimator):
         self.init_scale = init_scale
         self.min_bucket = min_bucket
         self.max_bucket = max_bucket
+        self.hot_cols = hot_cols
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.layout_cache = layout_cache
@@ -104,6 +106,7 @@ class ALS(BaseEstimator):
             n_shards=mesh.n_shards, exchange=mesh.exchange,
             platform=mesh.platform,
             min_bucket=data.min_bucket, max_bucket=data.max_bucket,
+            hot_cols=data.hot_cols,
             n_sweeps=fit.n_sweeps, tol=fit.tol, seed=fit.seed,
             init_scale=fit.init_scale,
             checkpoint_dir=fit.checkpoint_dir,
@@ -118,7 +121,18 @@ class ALS(BaseEstimator):
         )
 
     def _data_config(self) -> DataConfig:
-        return DataConfig(min_bucket=self.min_bucket, max_bucket=self.max_bucket)
+        hot = self.hot_cols
+        if hot is None:
+            # auto: as many hot columns as the fused solve kernel's VMEM
+            # budget allows at this rank (ML-25M rank-64: 0.374 -> 0.346
+            # s/epoch). The count threshold (DataConfig.hot_min_count auto)
+            # keeps it break-even-safe on unskewed data; sharded fits
+            # override to 0 (_fit_sharded).
+            from recommendation_models_tpu.ops.pallas.cholesky import (
+                hot_cols_cap)
+            hot = hot_cols_cap(self.rank)
+        return DataConfig(min_bucket=self.min_bucket,
+                          max_bucket=self.max_bucket, hot_cols=hot)
 
     def _build_layouts(self, indptr, indices, data, n_users, n_items, dcfg):
         """Both orientations' padded layouts, optionally through the packed

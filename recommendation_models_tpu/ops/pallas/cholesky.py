@@ -194,6 +194,104 @@ def _cholesky_solve_kernel_2g(g_ref, g2_ref, rhs_ref, reg_ref, out_ref,
     _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref)
 
 
+def hot_cols_cap(k: int) -> int:
+    """Max hot-column count C whose (k*k, C) f32 outer-product table fits
+    the fused kernel's 16 MB scoped-vmem budget alongside the
+    double-buffered (k, k, bt) gram blocks and the factorization scratch
+    (~2 MiB for the table; measured: 2.5 MiB OOMs at 18.4M/16M).
+
+    The P table must be f32: it holds EXACT products of the bf16-rounded
+    factors, making G_hot an exact gram of the same rounded table the
+    gathered path contracts — guaranteed PSD. A bf16 P (rounded products)
+    made G_hot indefinite by up to 2^-8 * tr(G_hot), which NaN'd rows whose
+    gathered gram was weak, and ridge-inflating by that bound cost visible
+    RMSE (0.21 -> 0.29 at bench 'tiny'). 8-aligned; 128 at k=64, 32 at
+    k=128."""
+    return max((2 * 1024 * 1024 // (k * k * 4)) // 8 * 8, 0)
+
+
+def _cholesky_solve_kernel_hot(alpha, eps, bt, g_hbm, hv_ref, vT_ref,
+                               rhs_ref, reg_ref, out_ref, a_ref, y_ref,
+                               x_ref, p_ref, sem):
+    """Fused hot-column variant: the hot block's gram and rhs contributions
+    are computed IN VMEM from the raw (C, bt) f16 value slab —
+
+        A   = G + P_hot^T diag-weights + reg I      (one (k^2,C)x(C,bt) MXU dot)
+        rhs'= rhs + V_hot^T rhs-weights             (one (k,C)x(C,bt) dot)
+
+    — so the (k^2, B) hot gram never exists in HBM (XLA-level formulations
+    all lost more to materialization + relayout than the gather savings;
+    see solver/als_sweep.py history). ``alpha`` is the static implicit-
+    feedback confidence (None = explicit least squares); weights follow
+    ops.gram.objective_weights.
+
+    ``eps``: static PSD safety margin, eps * tr(G_hot) added to the ridge.
+    Any rounding of G_hot's entries away from the exact gram of the rounded
+    factor table can leave it indefinite by up to that bound — enough to
+    NaN the factorization on rows whose gathered gram is weak (most
+    observations hot; hit at bench 'tiny' scale both with a bf16 P table
+    and with a DEFAULT-precision f32 dot, which a TPU runs as ONE bf16
+    pass). The dot below runs at HIGHEST precision over an exact f32
+    product table built in VMEM, so the caller passes eps=0 (f32
+    accumulation rounding is 2^-24-class, the same exposure the gathered
+    gram path has always had); keep eps > 0 only if reintroducing rounded
+    tables (a 2^-8 margin measurably hurt RMSE, a 2^-16 one broke 1e-5
+    parity tests).
+
+    rhs' is staged in out_ref: forward substitution consumes row j of it
+    before backward substitution overwrites that row with the solution.
+
+    The gram block is DMA'd from HBM straight into the factorization
+    scratch (``g_hbm`` is an ANY-space ref; the copy overlaps the hot-dot
+    compute). A pipelined VMEM input would double-buffer an extra
+    (k, k, bt) block and blow XLA's 16 MB scoped-vmem check at bt=256
+    (measured 22.4M) — and halving bt costs ~40% solve time instead.
+    """
+    k = a_ref.shape[0]
+    c = vT_ref.shape[1]
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        g_hbm.at[:, :, pl.ds(i * bt, bt)], a_ref, sem)
+    cp.start()
+    hv = hv_ref[:].astype(jnp.float32)                      # (C, bt)
+    if alpha is None:
+        wg = (hv != 0.0).astype(jnp.float32)
+        wr = hv
+    else:
+        wg = alpha * hv
+        wr = (hv != 0.0).astype(jnp.float32) + alpha * hv
+    # outer-product table built IN VMEM from the f32 (compute-dtype-rounded)
+    # factor rows — exact products, never streamed from HBM
+    vt = vT_ref[:]                                          # (k, C) f32
+    p_ref[:] = vt[:, None, :] * vt[None, :, :]              # (k, k, C)
+    ghot = jax.lax.dot_general(
+        p_ref[:].reshape(k * k, c), wg,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                # (k*k, bt)
+    # rhs dot is tiny ((k, C) lhs) — run it f32/HIGHEST too so the f32
+    # compute mode stays bit-comparable to the hot-disabled path
+    rhot = jax.lax.dot_general(
+        vt, wr, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                # (k, bt)
+    reg = reg_ref[:]
+    if eps:
+        vn2 = jnp.sum(vt * vt, axis=0, keepdims=True)       # (1, C) |v_c|^2
+        tr = jax.lax.dot_general(
+            vn2, wg, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (1, bt)
+        reg = reg + eps * tr
+    ri = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
+    cp.wait()
+    a_ref[:] = (a_ref[:]
+                + ghot.reshape(k, k, bt)
+                + jnp.where(ri == ci, 1.0, 0.0) * reg[None])
+    out_ref[:] = rhs_ref[:] + rhot
+    _factor_solve_body(a_ref, out_ref, out_ref, y_ref, x_ref)
+
+
 def _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref):
     """Shared rank-1 factorization + substitutions over a loaded A block."""
     k, _, bt = a_ref.shape
@@ -333,6 +431,70 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
         ),
         interpret=interpret,
     )(*operands)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+def _cholesky_solve_t_hot(Gt: jnp.ndarray, rhst: jnp.ndarray,
+                          regv: jnp.ndarray, hvT: jnp.ndarray,
+                          vT: jnp.ndarray,
+                          alpha=None, interpret: bool = False) -> jnp.ndarray:
+    """Batch-minor entry with fused hot-column contribution.
+
+    Gt (k, k, B) gathered gram (no ridge), rhst (k, B), regv (1, B),
+    hvT (C, B) bf16 hot-column values (0 = unobserved), vT (k, C) f32 hot
+    factor rows (already rounded to the compute dtype — the kernel builds
+    the exact outer-product table from them in VMEM).
+    ``alpha``: static implicit-feedback confidence (None = explicit).
+    B must be a multiple of the block size.
+    """
+    k, _, b = Gt.shape
+    c = hvT.shape[0]
+    if c > hot_cols_cap(k):
+        raise ValueError(
+            f"hot block C={c} exceeds the fused kernel's VMEM budget at "
+            f"k={k}; cap with hot_cols_cap(k)={hot_cols_cap(k)}")
+    bt = min(_block_batch(k), b)
+    grid = (b // bt,)
+    vma = frozenset(getattr(jax.typeof(Gt), "vma", ()) or ())
+    vma = vma | frozenset(getattr(jax.typeof(rhst), "vma", ()) or ())
+    if vma:
+        out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32, vma=vma)
+    else:
+        out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_cholesky_solve_kernel_hot, alpha, 0.0, bt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # G streamed by manual DMA
+            pl.BlockSpec((c, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, bt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((k, k, bt), jnp.float32),
+            pltpu.VMEM((1, k, bt), jnp.float32),
+            pltpu.VMEM((k, 1, bt), jnp.float32),
+            pltpu.VMEM((k, k, c), jnp.float32),   # outer-product table
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * k * k * k * b + 4 * k * k * b + 2 * k * k * c * b,
+            bytes_accessed=(k * k * b + 3 * k * b) * 4 + c * b * 2,
+            transcendentals=k * b,
+        ),
+        interpret=interpret,
+    )(Gt, hvT, vT, rhst, regv)
 
 
 def cholesky_solve_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,

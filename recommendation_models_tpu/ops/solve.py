@@ -148,6 +148,69 @@ def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
     return jnp.transpose(x, (1, 0))
 
 
+def solve_spd_t_hot(Gt: jnp.ndarray, rhst: jnp.ndarray, hvT: jnp.ndarray,
+                    vT: jnp.ndarray, alpha=None,
+                    solver: str = "auto", reg_vec=None) -> jnp.ndarray:
+    """solve_spd_t with a fused hot-column contribution.
+
+    hvT (C, B) hot-column values for these systems' rows (0 = unobserved),
+    vT (k, C) f32 hot factor rows, already rounded to the compute dtype. On
+    the Pallas path the hot gram/rhs terms are computed INSIDE the solve
+    kernel from an exact outer-product table built in VMEM (never
+    materialized in HBM — every XLA-level formulation lost more to
+    materialization + relayout than the hot block saved in gathers); the
+    fallback computes them in XLA (CPU tests / correctness anchor) at
+    HIGHEST matmul precision (a DEFAULT-precision TPU f32 dot is one bf16
+    pass, which rounds the products and leaves G_hot indefinite).
+    """
+    from recommendation_models_tpu.ops.gram import objective_weights
+
+    k, _, b = Gt.shape
+    solver = resolve_solver(solver)
+    if solver == "pallas" and k % 8 == 0:
+        from recommendation_models_tpu.ops.pallas.cholesky import (
+            _cholesky_solve_t_hot, _use_interpret, block_batch, hot_cols_cap)
+        if hvT.shape[0] <= hot_cols_cap(k):
+            block = block_batch(k)
+            bp = b if b <= block else -(-b // block) * block
+            # the fused kernel DMAs (k, k, bt) slices out of an ANY-space
+            # G ref; Mosaic requires the sliced minor dim 128-aligned
+            bp = -(-bp // 128) * 128
+            if reg_vec is None:
+                regv = jnp.zeros((1, b), jnp.float32)
+            else:
+                regv = jnp.asarray(reg_vec, jnp.float32).reshape(1, b)
+            if bp != b:
+                eye = jnp.eye(k, dtype=Gt.dtype)
+                Gt = jnp.pad(Gt, ((0, 0), (0, 0), (0, bp - b)))
+                Gt = Gt + eye[:, :, None] * (jnp.arange(bp) >= b
+                                             )[None, None, :].astype(Gt.dtype)
+                rhst = jnp.pad(rhst, ((0, 0), (0, bp - b)))
+                regv = jnp.pad(regv, ((0, 0), (0, bp - b)))
+                hvT = jnp.pad(hvT, ((0, 0), (0, bp - b)))
+            x = _cholesky_solve_t_hot(Gt.astype(jnp.float32),
+                                      rhst.astype(jnp.float32), regv, hvT,
+                                      vT.astype(jnp.float32), alpha=alpha,
+                                      interpret=_use_interpret())
+            return x[:, :b]
+        # hot block too wide for the kernel's VMEM budget: fall through
+    hv_f = hvT.astype(jnp.float32)
+    hm = (hv_f != 0).astype(jnp.float32)
+    wg, wr = objective_weights(hv_f, hm, alpha)
+    vt = vT.astype(jnp.float32)
+    pT = (vt[:, None, :] * vt[None, :, :]).reshape(k * k, vt.shape[1])
+    # HIGHEST: TPU f32 dots at DEFAULT run as one bf16 pass, rounding the
+    # exact products and making G_hot indefinite (see the fused kernel)
+    Gt = Gt + jnp.matmul(pT, wg,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST
+                         ).reshape(k, k, b)
+    rhst = rhst + jnp.matmul(vt, wr,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    return solve_spd_t(Gt, rhst, solver, reg_vec=reg_vec)
+
+
 def flat_ridge(G_flat: jnp.ndarray, k: int, reg, degrees=None) -> jnp.ndarray:
     """add_ridge on flat (B, k*k) systems."""
     eye_flat = jnp.eye(k, dtype=G_flat.dtype).reshape(-1)

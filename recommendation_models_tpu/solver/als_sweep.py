@@ -26,7 +26,7 @@ from recommendation_models_tpu.config import SolveConfig
 from recommendation_models_tpu.data.layout import PaddedLayout
 from recommendation_models_tpu.ops.gram import gram_rhs_t, objective_weights
 from recommendation_models_tpu.ops.solve import (
-    resolve_compute_dtype, solve_spd_flat, solve_spd_t,
+    resolve_compute_dtype, solve_spd_flat, solve_spd_t, solve_spd_t_hot,
 )
 from recommendation_models_tpu.utils.compat import match_vma
 
@@ -74,7 +74,12 @@ def device_buckets(layout: PaddedLayout,
             mask=jnp.asarray(msk),
         )
         if hv is not None:
-            d["hot_vals"] = jnp.asarray(hv)
+            # transposed (C, B): the fused solve kernel streams (C, bt)
+            # blocks with the batch on lanes, like everything else.
+            # bf16 on device — Mosaic has no f16 (host cache keeps f16);
+            # exact for half-star ratings either way.
+            d["hot_vals"] = jnp.asarray(np.ascontiguousarray(hv.T)
+                                        ).astype(jnp.bfloat16)
         out.append(d)
     if getattr(layout, "dense_ids", None) is not None:
         out.append(dict(
@@ -157,15 +162,19 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
     from recommendation_models_tpu.ops.pallas.cholesky import block_batch
     block = block_batch(k)
     buckets, dense, hot_ids = _split_special(buckets)
-    # Hot-column block (layout.py): one outer-product table P_hot (C, k, k)
-    # per half-sweep turns every bucket's hot contribution into a (B, C) x
-    # (C, k^2) MXU matmul. P entries are f32 products rounded once to the
-    # compute dtype — the same rounding class as the gathered bf16 path.
-    hot_V = hot_P = None
+    # Hot-column block (layout.py): each bucket's hot gram/rhs contributions
+    # are (k*k, C) x (C, bt) MXU dots computed INSIDE the fused solve kernel
+    # (ops.solve.solve_spd_t_hot) from the raw (C, B) slab and the hot
+    # factor rows below — the hot gram never exists in HBM.
+    hot_vT = None
     if hot_ids is not None:
-        vh = jnp.take(V, hot_ids, axis=0).astype(jnp.float32)   # (C, k)
-        hot_P = (vh[:, :, None] * vh[:, None, :]).astype(dtype)  # (C, k, k)
-        hot_V = vh.astype(dtype)
+        # f32 rows holding compute-dtype-rounded values: the fused solve
+        # kernel builds the EXACT outer-product table from them in VMEM, so
+        # G_hot is an exact gram of the same rounded table the gathered
+        # path contracts (guaranteed PSD; ops/pallas/cholesky docstrings)
+        vh = jnp.take(V, hot_ids, axis=0).astype(dtype
+                                                 ).astype(jnp.float32)
+        hot_vT = jnp.transpose(vh, (1, 0))                      # (k, C) f32
     # G storage must stay f32: bf16-rounded grams (0.4% per entry) can lose
     # positive-definiteness — Cholesky NaNs on near-singular rows (measured).
     # Only the gather/matmul INPUTS run bf16.
@@ -194,7 +203,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
     for bucket in buckets:
         wg, wr = objective_weights(bucket["values"], bucket["mask"], cfg.alpha)
         rid = bucket["row_ids"]
-        hv = bucket.get("hot_vals") if hot_P is not None else None
+        hv = bucket.get("hot_vals") if hot_vT is not None else None  # (C, B)
         b, p = bucket["indices"].shape
         # Small-batch WIDE buckets (whales): a 512-chunk scan over a 100k
         # width is hundreds of latency-bound steps doing (8, 512, k) of work
@@ -203,7 +212,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         if cfg.reg_by_degree:
             deg_row = bucket["mask"].sum(-1)
             if hv is not None:
-                deg_row = deg_row + (hv != 0).astype(jnp.float32).sum(-1)
+                deg_row = deg_row + (hv != 0).astype(jnp.float32).sum(0)
             reg_row = cfg.reg * jnp.maximum(deg_row, 1.0)
         else:
             reg_row = jnp.full((b,), cfg.reg, jnp.float32)
@@ -219,26 +228,29 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
             # gram straight to the kernel's batch-minor (k, k, bb) layout:
             # no whole-array transpose between gram and solve (measured
             # ~35 ms/half-sweep at ML-25M otherwise)
-            init = None
-            if hv_b is not None:
-                # hot-column contribution, fed as the gram scan's INITIAL
-                # CARRY: the carry pins the klb layout so the hot add and
-                # the dot's layout fold both come for free (gram_rhs_t
-                # docstring lists the failed alternatives)
-                hv_f = hv_b.astype(jnp.float32)
-                hm = (hv_f != 0).astype(jnp.float32)
-                hwg, hwr = objective_weights(hv_f, hm, cfg.alpha)
-                G0 = jnp.einsum("bc,ckl->klb", hwg.astype(dtype), hot_P,
-                                preferred_element_type=jnp.float32)
-                r0 = jnp.einsum("bc,ck->kb", hwr.astype(dtype), hot_V,
-                                preferred_element_type=jnp.float32)
-                init = (G0, r0)
             Gt, rt = gram_rhs_t(V, idx_b, wg_b, wr_b,
-                                chunk=chunk, compute_dtype=dtype, init=init)
+                                chunk=chunk, compute_dtype=dtype)
             if g0_t is not None:
                 Gt = Gt + g0_t
-            xt = solve_spd_t(Gt, rt, cfg.solver, reg_vec=reg_b)  # (k, bb)
+            if hv_b is not None:
+                # hot-column gram/rhs are computed INSIDE the fused solve
+                # kernel from the raw (C, bb) slab — never in HBM
+                xt = solve_spd_t_hot(Gt, rt, hv_b, hot_vT,
+                                     alpha=cfg.alpha, solver=cfg.solver,
+                                     reg_vec=reg_b)           # (k, bb)
+            else:
+                xt = solve_spd_t(Gt, rt, cfg.solver, reg_vec=reg_b)
             if with_sse:
+                if hv_b is not None:
+                    # the SSE identity needs x . rhs_TOTAL; recompute the
+                    # (small) hot rhs term here — only the with_sse half
+                    # pays it
+                    hv_f = hv_b.astype(jnp.float32)
+                    hm = (hv_f != 0).astype(jnp.float32)
+                    _, hwr = objective_weights(hv_f, hm, cfg.alpha)
+                    rt = rt + jnp.matmul(hot_vT, hwr,
+                                         preferred_element_type=jnp.float32,
+                                         precision=jax.lax.Precision.HIGHEST)
                 xr_b = jnp.einsum("kb,kb->", xt, rt,
                                   preferred_element_type=jnp.float32)
                 xx_b = jnp.einsum("b,kb,kb->", reg_b, xt, xt,
@@ -264,8 +276,11 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
             b = n_bb * bb
             xs = (idx_s, wg_s, wr_s, reg_s)
             if hv is not None:
-                xs = xs + (jnp.pad(hv, ((0, pad), (0, 0))
-                                   ).reshape(n_bb, bb, hv.shape[1]),)
+                # (C, B) -> (n_bb, C, bb): pad the batch axis, block it,
+                # bring the block index to the front for the scan
+                hv_s = jnp.pad(hv, ((0, 0), (0, pad))
+                               ).reshape(hv.shape[0], n_bb, bb)
+                xs = xs + (jnp.moveaxis(hv_s, 1, 0),)
 
             def body(carry, xs):
                 cxr, cxx = carry
@@ -351,12 +366,12 @@ def masked_sse(
             total = total + jnp.sum(jnp.where(v != 0, (v - pred) ** 2, 0.0))
 
     def block_sse(rid_b, idx_b, val_b, msk_b, chunk, hv_b=None):
-        """SSE of one (bb, p) block, degree-chunked."""
+        """SSE of one (bb, p) block, degree-chunked. hv_b is (C, bb)."""
         Ug = jnp.take(U, rid_b, axis=0, mode="fill", fill_value=0.0)
         part0 = jnp.zeros((), jnp.float32)
         if hv_b is not None:
             hv_f = hv_b.astype(jnp.float32)
-            pred_h = jnp.einsum("bk,ck->bc", Ug, hot_V,
+            pred_h = jnp.einsum("ck,bk->cb", hot_V, Ug,
                                 preferred_element_type=jnp.float32)
             part0 = jnp.sum(jnp.where(hv_f != 0, (hv_f - pred_h) ** 2, 0.0))
         p = idx_b.shape[1]
@@ -407,8 +422,9 @@ def masked_sse(
                         ).reshape(n_bb, bb)
         xs = (rid_s, idx_s, val_s, msk_s)
         if hv is not None:
-            xs = xs + (jnp.pad(hv, ((0, pad), (0, 0))
-                               ).reshape(n_bb, bb, hv.shape[1]),)
+            hv_s = jnp.pad(hv, ((0, 0), (0, pad))
+                           ).reshape(hv.shape[0], n_bb, bb)
+            xs = xs + (jnp.moveaxis(hv_s, 1, 0),)
 
         def outer(acc, xs):
             return acc + block_sse(*xs[:4], chunk_b, *xs[4:]), None

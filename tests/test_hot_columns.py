@@ -75,15 +75,18 @@ def test_hot_counts_respect_threshold(rng):
 
 
 @pytest.mark.parametrize("alpha", [None, 10.0])
-def test_half_sweep_matches_no_hot(rng, alpha):
+@pytest.mark.parametrize("solver", ["xla", "pallas"])
+def test_half_sweep_matches_no_hot(rng, alpha, solver):
+    """Hot path (fused Pallas kernel in interpret mode / XLA fallback)
+    must match the hot-disabled solve."""
     import jax.numpy as jnp
     from recommendation_models_tpu.solver.als_sweep import (
         device_buckets, half_sweep)
 
     users, items, vals = _skewed_problem(rng)
     n_users, n_items = 120, 90
-    k = 6
-    scfg = SolveConfig(rank=k, reg=0.1, alpha=alpha, solver="xla",
+    k = 8 if solver == "pallas" else 6
+    scfg = SolveConfig(rank=k, reg=0.1, alpha=alpha, solver=solver,
                        compute_dtype="float32")
     base = layout_from_coo(users, items, vals, n_users, n_items,
                            config=DataConfig(hot_cols=0, dense_whales=False))
