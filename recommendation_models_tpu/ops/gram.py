@@ -123,6 +123,10 @@ def gram_rhs_t(
         return G, rhs
 
     if init is not None and p > 8:
+        # NOTE: forcing >= 2 chunks WITHOUT an init (to pin the carry's klb
+        # layout and drop the dot's (B,k,k)-major copy, ~19 ms/user half)
+        # measured 3x SLOWER overall — halved-width gathers lose far more
+        # than the relayout costs. Scan-chunking stays init-only.
         half = -(-p // 2)
         chunk = min(chunk, -(-half // 8) * 8)  # >= 2 chunks, 8-aligned
     if p <= chunk:
