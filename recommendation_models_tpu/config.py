@@ -93,13 +93,14 @@ class DataConfig:
     dense_min_degree: Optional[int] = 512
     # Dense hot-column block: up to this many of the most popular columns'
     # observations leave the gather buckets for per-bucket (B, C) f16 slabs
-    # whose gram contribution is one MXU matmul against the C outer
-    # products (the transpose of the whale trick — targets the Zipf HEAD).
-    # 0 disables (required for sharded execution). Default OFF: at ML-25M
-    # rank-64 the gather savings (~35 ms/epoch) measured BELOW the cost of
-    # materializing the (k^2, B) hot gram + XLA layout taxes in every
-    # XLA-level formulation (post-add / einsum-init / second solve-kernel
-    # operand: 0.39-0.42 s/epoch vs 0.374 without).
+    # whose gram contribution is computed INSIDE the fused Pallas solve
+    # kernel (the transpose of the whale trick — targets the Zipf HEAD;
+    # ML-25M rank-64: 0.374 -> 0.342 s/epoch). 0 disables (required for
+    # sharded execution). The raw-DataConfig default stays 0 because the
+    # budget depends on rank; ALS's auto policy sets it to
+    # ops.pallas.cholesky.hot_cols_cap(rank). Every XLA-level formulation
+    # of the hot add LOST time to layout taxes — only the in-kernel form
+    # wins (see _cholesky_solve_kernel_hot).
     hot_cols: int = 0
     # A column qualifies as hot when its observation count reaches this.
     # None => auto max(n_rows // 64, 32): the break-even count where one
