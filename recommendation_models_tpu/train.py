@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     engine.add_argument("--compute-dtype", default="auto",
                         choices=["auto", "float32", "bfloat16"])
     engine.add_argument("--n-shards", type=int, default=None)
+    engine.add_argument("--hot-cols", type=int, default=None,
+                        help="hot-column block width; default auto "
+                             "(kernel VMEM cap at this rank), 0 disables")
     engine.add_argument("--exchange", default="allgather",
                         choices=["allgather", "all_to_all"])
     engine.add_argument("--platform", default=None,
@@ -132,7 +135,7 @@ def main(argv: Optional[list] = None) -> int:
                     n_sweeps=args.n_sweeps, tol=args.tol, seed=args.seed,
                     solver=args.solver, compute_dtype=args.compute_dtype,
                     n_shards=args.n_shards, exchange=args.exchange,
-                    platform=args.platform,
+                    platform=args.platform, hot_cols=args.hot_cols,
                     checkpoint_dir=args.checkpoint_dir,
                     checkpoint_every=args.checkpoint_every,
                     verbose=max(args.verbose - 1, 0))

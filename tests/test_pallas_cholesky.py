@@ -98,3 +98,35 @@ def test_two_gram_operands_match_summed(rng):
     # and against the XLA anchor
     xa = np.asarray(solve_spd_t(G1t, rt, "xla", reg_vec=reg, Gt2=G2t))
     np.testing.assert_allclose(x2, xa, rtol=2e-4, atol=2e-4)
+
+
+def test_hot_solve_matches_and_caps(rng):
+    """solve_spd_t_hot == manually-folded hot system; a hot block wider
+    than the kernel's VMEM cap falls back to the XLA formulation."""
+    import jax
+    from recommendation_models_tpu.ops.gram import objective_weights
+    from recommendation_models_tpu.ops.pallas.cholesky import hot_cols_cap
+    from recommendation_models_tpu.ops.solve import solve_spd_t, solve_spd_t_hot
+
+    b, k = 40, 16
+    for C in (24, hot_cols_cap(k) + 8):   # in-kernel path / cap fallback
+        G = _random_spd(rng, b, k)
+        rhs = rng.standard_normal((b, k)).astype(np.float32)
+        reg = rng.uniform(0.05, 0.2, b).astype(np.float32)
+        hv = np.where(rng.random((C, b)) < 0.4,
+                      rng.integers(1, 11, (C, b)) * 0.5, 0.0
+                      ).astype(np.float32)
+        vh = (rng.standard_normal((C, k)) * 0.3).astype(np.float32)
+        Gt = jnp.asarray(np.transpose(G, (1, 2, 0)))
+        rt = jnp.asarray(rhs.T)
+        x = np.asarray(solve_spd_t_hot(
+            Gt, rt, jnp.asarray(hv), jnp.asarray(vh.T), alpha=None,
+            solver="pallas", reg_vec=reg))
+        # manual fold in f64
+        wg, wr = objective_weights(hv, (hv != 0).astype(np.float32), None)
+        Gh = np.einsum("cb,ck,cl->bkl", np.asarray(wg), vh, vh)
+        rh = np.einsum("cb,ck->bk", np.asarray(wr), vh)
+        ref = np.stack([
+            np.linalg.solve(G[i] + Gh[i] + reg[i] * np.eye(k),
+                            rhs[i] + rh[i]) for i in range(b)])
+        np.testing.assert_allclose(x.T, ref, rtol=5e-4, atol=5e-4)
