@@ -113,7 +113,6 @@ def imc_bench(scale, rank, n_users, n_items) -> None:
     """IMC on ML-1M-scale side features (BASELINE.md config 4): sweep
     throughput on device vs the reference-faithful CG oracle, plus the
     inductive cold-start RMSE on users held out of training entirely."""
-    import time as _time
     import jax
     from recommendation_models_tpu.data.synthetic import (
         synthetic_imc_ratings, synthetic_side_features)

@@ -15,7 +15,6 @@ SURVEY.md §0.5 — `rmse()` is also exposed directly).
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import numpy as np
@@ -149,8 +148,10 @@ class ALS(BaseEstimator):
 
         prefix = self.layout_cache
         # distinct cache files per layout flavor (sharded builds disable the
-        # dense-whale block; sharing one file would silently mismatch)
-        tag = "" if dcfg.dense_whales else ".nodense"
+        # dense-whale block; hot_cols changes the bucket contents; sharing
+        # one file would silently mismatch)
+        tag = ("" if dcfg.dense_whales else ".nodense") + (
+            f".hot{dcfg.hot_cols}" if dcfg.hot_cols else "")
         user_layout = cached_layout(
             f"{prefix}{tag}.user.npz" if prefix else None, build_user)
         item_layout = cached_layout(

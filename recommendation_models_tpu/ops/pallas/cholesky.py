@@ -206,8 +206,9 @@ def hot_cols_cap(k: int) -> int:
     made G_hot indefinite by up to 2^-8 * tr(G_hot), which NaN'd rows whose
     gathered gram was weak, and ridge-inflating by that bound cost visible
     RMSE (0.21 -> 0.29 at bench 'tiny'). 8-aligned; 128 at k=64, 32 at
-    k=128."""
-    return max((2 * 1024 * 1024 // (k * k * 4)) // 8 * 8, 0)
+    k=128; capped at 1024 (tiny ranks would otherwise allow absurd widths
+    whose per-bucket slabs cost more than they save)."""
+    return min(max((2 * 1024 * 1024 // (k * k * 4)) // 8 * 8, 0), 1024)
 
 
 def _cholesky_solve_kernel_hot(alpha, eps, bt, g_hbm, hv_ref, vT_ref,

@@ -119,9 +119,10 @@ def test_layout_cache_used_by_fit(tmp_path):
     R = tiny_problem(25, 18, seed=6)
     prefix = str(tmp_path / "ml")
     m1 = ALS(rank=3, n_sweeps=2, seed=0, layout_cache=prefix).fit(R)
-    import os
-    assert os.path.exists(prefix + ".user.npz")
-    assert os.path.exists(prefix + ".item.npz")
+    import glob
+    # the cache tag encodes layout-changing flavors (nodense / hot width)
+    assert glob.glob(prefix + "*.user.npz")
+    assert glob.glob(prefix + "*.item.npz")
     # second fit loads from cache, same result
     m2 = ALS(rank=3, n_sweeps=2, seed=0, layout_cache=prefix).fit(R)
     np.testing.assert_allclose(m1.U_, m2.U_, rtol=1e-6)

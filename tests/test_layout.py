@@ -1,7 +1,6 @@
 """Padded segment-gather layout tests (SURVEY.md N1)."""
 
 import numpy as np
-import pytest
 import scipy.sparse as sp
 
 from recommendation_models_tpu.config import DataConfig
