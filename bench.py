@@ -199,11 +199,13 @@ def main() -> None:
     # BENCH_HOT_COLS=<int> overrides the hot-column dense slab width
     # (fused solve kernel path); default = the kernel's VMEM cap at this
     # rank, matching ALS's auto policy.
-    from recommendation_models_tpu.config import DataConfig
+    from recommendation_models_tpu.config import (
+        DataConfig, dense_min_degree_for_rank)
     from recommendation_models_tpu.ops.pallas.cholesky import hot_cols_cap
     hot = os.environ.get("BENCH_HOT_COLS")
     dcfg = DataConfig(hot_cols=int(hot) if hot is not None
-                      else hot_cols_cap(rank))
+                      else hot_cols_cap(rank),
+                      dense_min_degree=dense_min_degree_for_rank(rank))
     user_layout = layout_from_coo(users, items, ratings, n_users, n_items,
                                   config=dcfg)
     item_layout = layout_from_coo(users, items, ratings, n_users, n_items,

@@ -89,7 +89,9 @@ class DataConfig:
     # max_bucket (the pre-round-1 behavior). Default 512: profiling showed
     # any bucket wide enough to need the chunked-gram lax.scan is faster as
     # one dense MXU matmul (break-even degree is ~200 at ML-25M shapes,
-    # ~500 with the dense block's HBM traffic included).
+    # ~500 with the dense block's HBM traffic included). NOTE: that
+    # break-even was measured at rank 64 and scales ~k^2 — estimator entry
+    # points resolve it per rank via `dense_min_degree_for_rank`.
     dense_min_degree: Optional[int] = 512
     # Dense hot-column block: up to this many of the most popular columns'
     # observations leave the gather buckets for per-bucket (B, C) f16 slabs
@@ -113,6 +115,20 @@ class DataConfig:
     seed: int = 0
 
 
+def dense_min_degree_for_rank(rank: int, max_bucket: int = 4096) -> int:
+    """Rank-aware dense-whale threshold (ALS/bench auto policy).
+
+    The dense-gramian path costs ~2*k^2*n_cols MXU FLOPs per row regardless
+    of the row's degree, while the gathered path's cost is ~degree gather
+    slots (index-processing-bound, k-independent) — so the break-even degree
+    grows as k^2. Measured on v5e at ML-25M shapes: 512 optimal at k=64
+    (item half 329 ms at thr=512 vs 346 at 1024), 2048 at k=128 (286 ms vs
+    329 at 512). Clamped to >=512 — at low ranks going denser earlier is
+    unmeasured and widens the dense block's value!=0 observation-mask caveat
+    — and to max_bucket (wider rows must leave the bucket path anyway)."""
+    return min(max(rank * rank // 8, 512), max_bucket)
+
+
 @dataclasses.dataclass(frozen=True)
 class FitConfig:
     """Sweep-loop hyperparameters (reference: max_iter / tol)."""
@@ -126,4 +142,5 @@ class FitConfig:
     checkpoint_every: int = 0  # 0 => disabled
 
 
-__all__ = ["SolveConfig", "MeshConfig", "DataConfig", "FitConfig"]
+__all__ = ["SolveConfig", "MeshConfig", "DataConfig", "FitConfig",
+           "dense_min_degree_for_rank"]

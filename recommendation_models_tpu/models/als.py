@@ -57,6 +57,7 @@ class ALS(BaseEstimator):
         min_bucket: int = 8,
         max_bucket: int = 4096,
         hot_cols: Optional[int] = None,
+        dense_min_degree: Optional[int] = None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
         layout_cache: Optional[str] = None,
@@ -79,6 +80,7 @@ class ALS(BaseEstimator):
         self.min_bucket = min_bucket
         self.max_bucket = max_bucket
         self.hot_cols = hot_cols
+        self.dense_min_degree = dense_min_degree
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.layout_cache = layout_cache
@@ -106,6 +108,11 @@ class ALS(BaseEstimator):
             platform=mesh.platform,
             min_bucket=data.min_bucket, max_bucket=data.max_bucket,
             hot_cols=data.hot_cols,
+            # the dataclass default (512) means "unset" here so rank>64
+            # configs keep the rank-aware auto threshold; 512 is what auto
+            # resolves to for every rank <= 64 anyway
+            dense_min_degree=(data.dense_min_degree
+                              if data.dense_min_degree != 512 else None),
             n_sweeps=fit.n_sweeps, tol=fit.tol, seed=fit.seed,
             init_scale=fit.init_scale,
             checkpoint_dir=fit.checkpoint_dir,
@@ -130,8 +137,17 @@ class ALS(BaseEstimator):
             from recommendation_models_tpu.ops.pallas.cholesky import (
                 hot_cols_cap)
             hot = hot_cols_cap(self.rank)
+        dmd = self.dense_min_degree
+        if dmd is None:
+            # auto: the dense-whale break-even degree scales ~rank^2
+            # (config.dense_min_degree_for_rank; measured 512@k=64,
+            # 2048@k=128 on v5e).
+            from recommendation_models_tpu.config import (
+                dense_min_degree_for_rank)
+            dmd = dense_min_degree_for_rank(self.rank, self.max_bucket)
         return DataConfig(min_bucket=self.min_bucket,
-                          max_bucket=self.max_bucket, hot_cols=hot)
+                          max_bucket=self.max_bucket, hot_cols=hot,
+                          dense_min_degree=dmd)
 
     def _build_layouts(self, indptr, indices, data, n_users, n_items, dcfg):
         """Both orientations' padded layouts, optionally through the packed
@@ -151,7 +167,9 @@ class ALS(BaseEstimator):
         # dense-whale block; hot_cols changes the bucket contents; sharing
         # one file would silently mismatch)
         tag = ("" if dcfg.dense_whales else ".nodense") + (
-            f".hot{dcfg.hot_cols}" if dcfg.hot_cols else "")
+            f".hot{dcfg.hot_cols}" if dcfg.hot_cols else "") + (
+            f".dmd{dcfg.dense_min_degree}"
+            if dcfg.dense_whales and dcfg.dense_min_degree != 512 else "")
         user_layout = cached_layout(
             f"{prefix}{tag}.user.npz" if prefix else None, build_user)
         item_layout = cached_layout(

@@ -126,3 +126,23 @@ def test_layout_cache_used_by_fit(tmp_path):
     # second fit loads from cache, same result
     m2 = ALS(rank=3, n_sweeps=2, seed=0, layout_cache=prefix).fit(R)
     np.testing.assert_allclose(m1.U_, m2.U_, rtol=1e-6)
+
+
+def test_dense_min_degree_auto_policy():
+    """The dense-whale threshold is rank-aware (break-even scales ~rank^2;
+    measured 512 @ k=64 vs 2048 @ k=128 on v5e — config.py)."""
+    from recommendation_models_tpu.config import dense_min_degree_for_rank
+    assert dense_min_degree_for_rank(64) == 512
+    assert dense_min_degree_for_rank(128) == 2048
+    assert dense_min_degree_for_rank(10) == 512          # clamped low
+    assert dense_min_degree_for_rank(256, 4096) == 4096  # clamped high
+    assert ALS(rank=128)._data_config().dense_min_degree == 2048
+    assert ALS(rank=128, dense_min_degree=700)._data_config(
+        ).dense_min_degree == 700
+    # from_configs: the dataclass default (512) resolves like "auto"
+    from recommendation_models_tpu.config import DataConfig, SolveConfig
+    m = ALS.from_configs(solve=SolveConfig(rank=128), data=DataConfig())
+    assert m._data_config().dense_min_degree == 2048
+    m = ALS.from_configs(solve=SolveConfig(rank=128),
+                         data=DataConfig(dense_min_degree=777))
+    assert m._data_config().dense_min_degree == 777
