@@ -201,10 +201,10 @@ def main() -> None:
     # rank, matching ALS's auto policy.
     from recommendation_models_tpu.config import (
         DataConfig, dense_min_degree_for_rank)
-    from recommendation_models_tpu.ops.pallas.cholesky import hot_cols_cap
+    from recommendation_models_tpu.ops.pallas.cholesky import hot_cols_auto
     hot = os.environ.get("BENCH_HOT_COLS")
     dcfg = DataConfig(hot_cols=int(hot) if hot is not None
-                      else hot_cols_cap(rank),
+                      else hot_cols_auto(rank),
                       dense_min_degree=dense_min_degree_for_rank(rank))
     user_layout = layout_from_coo(users, items, ratings, n_users, n_items,
                                   config=dcfg)
@@ -240,6 +240,11 @@ def main() -> None:
     _ = np.asarray(sse)
     U = jnp.asarray(U0)
     V = jnp.asarray(V0)
+    # fence the H2D transfers OUT of the timed region (dependent readbacks —
+    # block_until_ready does not fence over the axon tunnel, and an unfenced
+    # placement serializes into the first sweep: +~0.2 s/epoch at rank 128,
+    # 83 MB/table)
+    _ = np.asarray(U[0, 0]), np.asarray(V[0, 0])
     t1 = time.perf_counter()
     U, V, sse = fit_fn(U, V)
     sse_host = np.asarray(sse)  # dependent readback = the timing fence

@@ -100,7 +100,8 @@ class DataConfig:
     # ML-25M rank-64: 0.374 -> 0.342 s/epoch). 0 disables (required for
     # sharded execution). The raw-DataConfig default stays 0 because the
     # budget depends on rank; ALS's auto policy sets it to
-    # ops.pallas.cholesky.hot_cols_cap(rank). Every XLA-level formulation
+    # ops.pallas.cholesky.hot_cols_auto(rank) (the VMEM cap, or 0 when the
+    # cap is below break-even width). Every XLA-level formulation
     # of the hot add LOST time to layout taxes — only the in-kernel form
     # wins (see _cholesky_solve_kernel_hot).
     hot_cols: int = 0

@@ -131,12 +131,14 @@ class ALS(BaseEstimator):
         if hot is None:
             # auto: as many hot columns as the fused solve kernel's VMEM
             # budget allows at this rank (ML-25M rank-64: 0.374 -> 0.346
-            # s/epoch). The count threshold (DataConfig.hot_min_count auto)
-            # keeps it break-even-safe on unskewed data; sharded fits
-            # override to 0 (_fit_sharded).
+            # s/epoch), or 0 when the cap shrinks below break-even width
+            # (hot_cols_auto; C=32 at k=128 measurably loses). The count
+            # threshold (DataConfig.hot_min_count auto) keeps it
+            # break-even-safe on unskewed data; sharded fits override to 0
+            # (_fit_sharded).
             from recommendation_models_tpu.ops.pallas.cholesky import (
-                hot_cols_cap)
-            hot = hot_cols_cap(self.rank)
+                hot_cols_auto)
+            hot = hot_cols_auto(self.rank)
         dmd = self.dense_min_degree
         if dmd is None:
             # auto: the dense-whale break-even degree scales ~rank^2

@@ -211,6 +211,16 @@ def hot_cols_cap(k: int) -> int:
     return min(max((2 * 1024 * 1024 // (k * k * 4)) // 8 * 8, 0), 1024)
 
 
+def hot_cols_auto(k: int) -> int:
+    """Hot-column width for the ALS/bench auto policy: the VMEM cap, unless
+    it has shrunk below the break-even slab width. Measured on v5e at ML-25M
+    shapes: C=128 at k=64 saves ~30 ms/epoch, but C=32 at k=128 COSTS ~15 ms
+    per half-sweep (the per-bucket slab dots + in-kernel table build no
+    longer pay for the few gathers that 32 columns remove)."""
+    cap = hot_cols_cap(k)
+    return cap if cap >= 64 else 0
+
+
 def _cholesky_solve_kernel_hot(alpha, eps, bt, g_hbm, hv_ref, vT_ref,
                                rhs_ref, reg_ref, out_ref, a_ref, y_ref,
                                x_ref, p_ref, sem):
