@@ -73,17 +73,18 @@ def test_top_n_matches_recommend():
 
 
 def test_gridsearch_compatible():
-    """Composability with GridSearchCV-style cloning + scoring."""
-    from sklearn.base import clone
-    R = tiny_problem(30, 20, seed=24)
-    best, best_score = None, -np.inf
-    base = ALS(rank=4, n_sweeps=2)
-    for reg in [0.01, 0.1, 1.0]:
-        m = clone(base).set_params(reg=reg).fit(R)
-        s = m.score(R)
-        if s > best_score:
-            best, best_score = reg, s
-    assert best is not None
+    """Composability with the REAL sklearn GridSearchCV (SURVEY.md §2.1 row
+    10: grid-search compatibility). CV splits user rows as samples; score is
+    negative RMSE on the held-out rows' observed entries."""
+    from sklearn.model_selection import GridSearchCV, KFold
+    R = tiny_problem(30, 20, density=0.4, seed=24)
+    gs = GridSearchCV(ALS(rank=4, n_sweeps=2), {"reg": [0.01, 0.1, 1.0]},
+                      cv=KFold(3), error_score="raise")
+    gs.fit(R)
+    assert gs.best_params_["reg"] in (0.01, 0.1, 1.0)
+    assert np.isfinite(gs.best_score_)
+    # refit model is usable
+    assert gs.best_estimator_.predict([0], [0]).shape == (1,)
 
 
 def test_from_configs_roundtrip():
