@@ -116,6 +116,17 @@ class ShardedLayout:
     indices: Tuple[np.ndarray, ...]  # each (S, B, P) int32, global col ids
     values: Tuple[np.ndarray, ...]   # each (S, B, P) float32
     mask: Tuple[np.ndarray, ...]     # each (S, B, P) float32
+    # Dense-whale block, row-sharded like the buckets: ids are LOCAL (the
+    # sentinel is rows_per_shard, scatter-dropped), vals keep GLOBAL column
+    # order (valid only for 'allgather' exchange, where each shard sees the
+    # full opposite table). None when the layout has no dense block.
+    dense_ids: Optional[np.ndarray] = None   # (S, Wmax) int32 local ids
+    dense_vals: Optional[np.ndarray] = None  # (S, Wmax, n_cols) float16
+    # Hot-column block: the C global column ids (replicated — every shard
+    # gathers the same opposite-table rows) and per-bucket (S, B, C) f16
+    # value slabs aligned with row_ids. None when no hot block.
+    hot_ids: Optional[np.ndarray] = None
+    hot_vals: Optional[Tuple[np.ndarray, ...]] = None
 
 
 def build_layout(
@@ -316,18 +327,18 @@ def shard_layout(layout: PaddedLayout, n_shards: int,
     shard_map body covers every shard. ``row_multiple`` rounds each bucket's
     row count (pass the solve kernel's batch block so the solver never pays
     a whole-array pad copy).
+
+    Dense-whale and hot-column blocks shard by row owner like the buckets
+    (see ShardedLayout field docs). Their column ids stay GLOBAL, so a
+    layout carrying them is only valid for 'allgather' exchange — the
+    all_to_all path's compact exchanged table cannot serve global ids
+    (callers build all_to_all layouts with dense_whales=False, hot_cols=0;
+    parallel.exchange.build_exchange_plan enforces it).
     """
-    if layout.dense_ids is not None:
-        raise ValueError(
-            "shard_layout: layout has a dense-whale block; build the layout "
-            "with DataConfig(dense_whales=False) for sharded execution "
-            "(wide buckets handle whales there)")
-    if layout.hot_ids is not None:
-        raise ValueError(
-            "shard_layout: layout has a hot-column block; build the layout "
-            "with DataConfig(hot_cols=0) for sharded execution")
     rows_per_shard = -(-layout.n_rows // n_shards)
+    has_hot = layout.hot_ids is not None
     pads, all_rid, all_idx, all_val, all_msk = [], [], [], [], []
+    all_hv = [] if has_hot else None
     for b in layout.buckets:
         real = b.row_ids < layout.n_rows
         shard_of = np.where(real, b.row_ids // rows_per_shard, -1)
@@ -341,6 +352,8 @@ def shard_layout(layout: PaddedLayout, n_shards: int,
         idx = np.zeros((n_shards, bmax, b.pad), dtype=np.int32)
         val = np.zeros((n_shards, bmax, b.pad), dtype=np.float32)
         msk = np.zeros((n_shards, bmax, b.pad), dtype=np.float32)
+        hv = (np.zeros((n_shards, bmax, b.hot_vals.shape[1]), np.float16)
+              if has_hot else None)
         for s in range(n_shards):
             take = np.flatnonzero(shard_of == s)
             k = take.shape[0]
@@ -348,16 +361,35 @@ def shard_layout(layout: PaddedLayout, n_shards: int,
             idx[s, :k] = b.indices[take]
             val[s, :k] = b.values[take]
             msk[s, :k] = b.mask[take]
+            if has_hot:
+                hv[s, :k] = b.hot_vals[take]
         pads.append(b.pad)
         all_rid.append(rid)
         all_idx.append(idx)
         all_val.append(val)
         all_msk.append(msk)
+        if has_hot:
+            all_hv.append(hv)
+    dense_ids = dense_vals = None
+    if layout.dense_ids is not None:
+        shard_of = layout.dense_ids // rows_per_shard
+        counts = np.bincount(shard_of, minlength=n_shards)
+        wmax = -(-max(int(counts.max()), 1) // 8) * 8
+        dense_ids = np.full((n_shards, wmax), rows_per_shard, np.int32)
+        dense_vals = np.zeros((n_shards, wmax, layout.n_cols), np.float16)
+        for s in range(n_shards):
+            take = np.flatnonzero(shard_of == s)
+            k = take.shape[0]
+            dense_ids[s, :k] = layout.dense_ids[take] - s * rows_per_shard
+            dense_vals[s, :k] = layout.dense_vals[take]
     return ShardedLayout(
         n_rows=layout.n_rows, n_cols=layout.n_cols, nnz=layout.nnz,
         n_shards=n_shards, rows_per_shard=rows_per_shard,
         pads=tuple(pads), row_ids=tuple(all_rid), indices=tuple(all_idx),
         values=tuple(all_val), mask=tuple(all_msk),
+        dense_ids=dense_ids, dense_vals=dense_vals,
+        hot_ids=(np.asarray(layout.hot_ids) if has_hot else None),
+        hot_vals=(tuple(all_hv) if has_hot else None),
     )
 
 

@@ -257,9 +257,12 @@ class ALS(BaseEstimator):
         mesh = get_mesh(self.n_shards, platform=self.platform)
         import dataclasses
         from recommendation_models_tpu.ops.pallas.cholesky import block_batch
-        # sharded execution keeps whales on the wide-bucket path (the dense
-        # block would need the full opposite table on every shard)
-        dcfg = dataclasses.replace(dcfg, dense_whales=False, hot_cols=0)
+        if self.exchange != "allgather":
+            # the all_to_all exchange serves a COMPACT remapped table, so
+            # global-column-id blocks can't run there: whales stay on the
+            # wide-bucket path. 'allgather' shards see the full opposite
+            # table and keep the dense-whale + hot-column fast paths.
+            dcfg = dataclasses.replace(dcfg, dense_whales=False, hot_cols=0)
         ul, il = self._build_layouts(indptr, indices, data, n_users, n_items,
                                      dcfg)
         user_layout = shard_layout(ul, self.n_shards,

@@ -43,6 +43,12 @@ def build_exchange_plan(layout: ShardedLayout, col_shard_size: int) -> ExchangeP
     global size is S * col_shard_size), defining ownership:
     ``owner(col) = col // col_shard_size``.
     """
+    if layout.dense_ids is not None or layout.hot_ids is not None:
+        raise ValueError(
+            "build_exchange_plan: dense-whale/hot-column blocks hold GLOBAL "
+            "column ids and need the full opposite table — use 'allgather' "
+            "exchange, or build the layout with DataConfig(dense_whales="
+            "False, hot_cols=0) for all_to_all")
     S = layout.n_shards
     css = col_shard_size
 

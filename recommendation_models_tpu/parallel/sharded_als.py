@@ -45,6 +45,31 @@ def _exchange_source(V_loc, plan, axis):
     return E.reshape(-1, V_loc.shape[-1])               # (S*Rmax, k)
 
 
+def _local_buckets(buckets):
+    """Strip the leading (local-shard) axis; pass dense/hot entries through.
+
+    Gather buckets arrive as (1, B, ...) shard-local blocks; the dense-whale
+    entry as (1, Wmax, n_cols); ``hot_ids`` is replicated so it has no
+    leading shard axis. The resulting tuple matches the single-device
+    solver's bucket pytree (solver.als_sweep._split_special)."""
+    out = []
+    for b in buckets:
+        if "dense_vals" in b:
+            out.append(dict(dense_ids=b["dense_ids"][0],
+                            dense_vals=b["dense_vals"][0]))
+        elif "hot_ids" in b:
+            out.append(dict(hot_ids=b["hot_ids"]))
+        else:
+            d = dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
+                     values=b["values"][0], mask=b["mask"][0])
+            if "hot_vals" in b:
+                # bf16 on device: Mosaic has no f16 (the host/HBM copy
+                # stays f16 — half the allgather-free slab bytes)
+                d["hot_vals"] = b["hot_vals"][0].astype(jnp.bfloat16)
+            out.append(d)
+    return tuple(out)
+
+
 def _half_sweep_local(V_loc, buckets, plan, n_local_rows, cfg: SolveConfig, axis):
     from recommendation_models_tpu.solver.als_sweep import solve_all_buckets
 
@@ -55,23 +80,16 @@ def _half_sweep_local(V_loc, buckets, plan, n_local_rows, cfg: SolveConfig, axis
         g0 = jax.lax.psum(
             jnp.einsum("nk,nl->kl", V_loc, V_loc,
                        preferred_element_type=jnp.float32), axis)
-    local = tuple(
-        dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
-             values=b["values"][0], mask=b["mask"][0])
-        for b in buckets)
     # one dense scatter-add + batched-Cholesky call per shard per half-sweep
-    U_new, _ = solve_all_buckets(V_src, local, n_local_rows, cfg, g0)
+    U_new, _ = solve_all_buckets(V_src, _local_buckets(buckets),
+                                 n_local_rows, cfg, g0)
     return U_new
 
 
 def _local_sse(U_loc, V_src, buckets, chunk):
     from recommendation_models_tpu.solver.als_sweep import masked_sse
 
-    local = tuple(
-        dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
-             values=b["values"][0], mask=b["mask"][0])
-        for b in buckets)
-    return masked_sse(U_loc, V_src, local, chunk=chunk)
+    return masked_sse(U_loc, V_src, _local_buckets(buckets), chunk=chunk)
 
 
 class ShardedALSProgram:
@@ -128,16 +146,36 @@ class ShardedALSProgram:
             return jax.make_array_from_callback(
                 x.shape, sharding, lambda idx: x[idx])
 
+        def repl_put(x):
+            x = np.asarray(x)
+            sharding = NamedSharding(mesh, P(*([None] * x.ndim)))
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+
         def put_buckets(layout: ShardedLayout, plan: Optional[ExchangePlan]):
             out = []
             for i in range(len(layout.pads)):
                 idx = plan.remapped[i] if plan is not None else layout.indices[i]
-                out.append(dict(
+                d = dict(
                     row_ids=shard_put(layout.row_ids[i]),
                     indices=shard_put(idx),
                     values=shard_put(layout.values[i]),
                     mask=shard_put(layout.mask[i]),
-                ))
+                )
+                if layout.hot_vals is not None:
+                    # transposed (S, C, B): the fused solve kernel streams
+                    # (C, bt) slabs batch-on-lanes (solver.als_sweep
+                    # device_buckets does the same transpose)
+                    d["hot_vals"] = shard_put(
+                        np.ascontiguousarray(
+                            np.swapaxes(layout.hot_vals[i], 1, 2)))
+                out.append(d)
+            if layout.dense_ids is not None:
+                out.append(dict(dense_ids=shard_put(layout.dense_ids),
+                                dense_vals=shard_put(layout.dense_vals)))
+            if layout.hot_ids is not None:
+                # global column ids — identical on every shard (replicated)
+                out.append(dict(hot_ids=repl_put(layout.hot_ids)))
             return tuple(out)
 
         self._ub = put_buckets(user_layout, u_plan)
@@ -153,7 +191,14 @@ class ShardedALSProgram:
             return P(axis, *([None] * (x.ndim - 1)))
 
         def specs_of(tree):
-            return jax.tree.map(spec_like, tree)
+            if isinstance(tree, dict):
+                # hot_ids is replicated; everything else is row-sharded
+                return {key: (P(*([None] * v.ndim)) if key == "hot_ids"
+                              else spec_like(v))
+                        for key, v in tree.items()}
+            if isinstance(tree, tuple):
+                return tuple(specs_of(t) for t in tree)
+            return None if tree is None else jax.tree.map(spec_like, tree)
 
         table_spec = P(axis, None)
 

@@ -48,3 +48,30 @@ def test_sharded_random_init_runs(cpu_mesh):
     m = ALS(rank=5, n_sweeps=2, n_shards=4, platform="cpu").fit(R)
     assert m.U_.shape == (40, 5)
     assert np.isfinite(m.history_).all()
+
+
+@pytest.mark.parametrize("alpha", [None, 0.5])
+def test_sharded_allgather_dense_hot_parity(alpha, cpu_mesh):
+    """'allgather' sharding keeps the dense-whale + hot-column fast paths
+    (all_to_all cannot: global column ids need the full opposite table).
+    Force both blocks on a tiny problem and check parity with unsharded."""
+    R = tiny_problem(96, 40, density=0.5, seed=33)
+    U0, V0 = _init(96, 40, rank=8, seed=8)
+    kw = dict(rank=8, reg=0.3, alpha=alpha, n_sweeps=3, hot_cols=8,
+              dense_min_degree=26, max_bucket=32)
+
+    # the forced config must actually produce both special blocks
+    from recommendation_models_tpu.data.layout import build_layout, csr_arrays
+    indptr, indices, data, nu, ni = csr_arrays(R)
+    lay = build_layout(indptr, indices, data, nu, ni,
+                       ALS(**kw)._data_config())
+    assert lay.dense_ids is not None and len(lay.dense_ids) > 0
+    assert lay.hot_ids is not None and len(lay.hot_ids) > 0
+
+    ref = ALS(**kw).fit(R, U0=U0, V0=V0)
+    shd = ALS(**kw, n_shards=8, exchange="allgather",
+              platform="cpu").fit(R, U0=U0, V0=V0)
+    np.testing.assert_allclose(shd.U_, ref.U_, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(shd.V_, ref.V_, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(shd.history_, ref.history_,
+                               rtol=1e-3, atol=1e-4)
