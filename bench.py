@@ -136,16 +136,40 @@ def imc_bench(scale, rank, n_users, n_items) -> None:
     cold = users >= int(0.9 * n_users)
     tr = ~cold
 
-    # the jitted whole-fit program is cached per (config, shape): the first
-    # fit pays compile, the second is pure compute
+    # quality side: one estimator fit for the inductive cold-start check
     n_sweeps = 8
     model = IMC(rank=rank, reg=0.1, n_sweeps=n_sweeps, cg_iters=30, seed=0)
     model.fit((users[tr], items[tr], ratings[tr]), X, Y)
-    t0 = time.perf_counter()
-    model.fit((users[tr], items[tr], ratings[tr]), X, Y)
-    fit_s = time.perf_counter() - t0
     pred = model.predict(users[cold], items[cold])
     cold_rmse = float(np.sqrt(np.mean((pred - ratings[cold]) ** 2)))
+
+    # throughput side: time the jitted whole-fit device program directly
+    # (layouts/placement are one-time prep, same methodology as the ALS
+    # bench: warm call compiles and fences the H2D, dependent readback ends
+    # the timed region)
+    import jax.numpy as jnp
+    from recommendation_models_tpu.config import DataConfig
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    from recommendation_models_tpu.models.imc import _imc_program
+    from recommendation_models_tpu.solver.als_sweep import device_buckets
+
+    dcfg = DataConfig(dense_whales=False, hot_cols=0)
+    ul = layout_from_coo(users[tr], items[tr], ratings[tr],
+                         n_users, n_items, config=dcfg)
+    il = layout_from_coo(users[tr], items[tr], ratings[tr],
+                         n_users, n_items, config=dcfg, transpose=True)
+    ub, ib = device_buckets(ul), device_buckets(il)
+    fit_all = _imc_program(0.1, 30, n_sweeps, n_users, n_items)
+    rng0 = np.random.default_rng(0)
+    W0 = jnp.asarray(0.1 * rng0.standard_normal((d_user, rank)), jnp.float32)
+    H0 = jnp.asarray(0.1 * rng0.standard_normal((d_item, rank)), jnp.float32)
+    Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+    _, _, (hist, _) = fit_all(W0, H0, Xd, Yd, ub, ib)
+    _ = np.asarray(hist)                    # compile + fence placements
+    t0 = time.perf_counter()
+    _, _, (hist, _) = fit_all(W0, H0, Xd, Yd, ub, ib)
+    _ = np.asarray(hist)                    # dependent readback = the fence
+    fit_s = time.perf_counter() - t0
 
     # oracle on a subsample, same sweep count (CPU reference baseline)
     sub = min(100_000, int(tr.sum()))
