@@ -218,17 +218,21 @@ class ALS(BaseEstimator):
         else:
             U, V = self._init_factors_host(n_users, n_items)
 
-        stepwise = (self.tol > 0
-                    or (self.checkpoint_dir and self.checkpoint_every)
+        stepwise = ((self.checkpoint_dir and self.checkpoint_every)
                     or self.verbose)
         if not stepwise:
             # Whole fit is ONE device program (lax.scan over sweeps) — no
-            # per-sweep host round trips (§3.1 loop, device-resident).
+            # per-sweep host round trips (§3.1 loop, device-resident). A
+            # tol stopping rule runs as a device-side while_loop (sweeps
+            # never run come back as the -1 sentinel and are trimmed here).
             from recommendation_models_tpu.solver.als_sweep import make_scanned_fit
             fit_fn = make_scanned_fit(ub, ib, n_users, n_items, scfg,
-                                      self.n_sweeps)
+                                      self.n_sweeps, tol=self.tol,
+                                      nnz=max(nnz, 1))
             U, V, sse = fit_fn(U, V)
-            self.history_ = list(np.sqrt(np.asarray(sse) / max(nnz, 1)))
+            sse_h = np.asarray(sse)
+            sse_h = sse_h[sse_h >= 0]          # -1 = sweep never ran (tol)
+            self.history_ = list(np.sqrt(sse_h / max(nnz, 1)))
         else:
             sweep, train_sse = make_sweep_fns(ub, ib, n_users, n_items, scfg)
             self.history_ = []

@@ -477,6 +477,8 @@ def make_scanned_fit(
     n_items: int,
     cfg: SolveConfig,
     n_sweeps: int,
+    tol: float = 0.0,
+    nnz: int = 1,
 ):
     """One jitted program for the ENTIRE fit: ``lax.scan`` over sweeps.
 
@@ -484,28 +486,60 @@ def make_scanned_fit(
     loop on-device matters doubly on remote-attached TPUs where every host
     readback costs tens of ms of tunnel latency; the reference's per-sweep
     'compute train RMSE' (§3.1) becomes a device-side history read back once.
+
+    ``tol > 0`` switches the scan to a ``lax.while_loop`` with the
+    reference's stopping rule (§3.1 'break if Δ train-RMSE < tol') evaluated
+    ON DEVICE — early stopping costs zero host round-trips. Sweeps never run
+    leave -1 in the history (the host trims them off).
     """
 
     explicit = cfg.alpha is None
+
+    def one_sweep(U, V, ub, ib):
+        U = half_sweep(V, ub, n_users, cfg)
+        if explicit:
+            # SSE falls out of the item half-sweep's solves for free and
+            # equals masked_sse(U_new, V_new) (tested).
+            V, sse = half_sweep(U, ib, n_items, cfg, with_sse=True)
+        else:
+            V = half_sweep(U, ib, n_items, cfg)
+            sse = masked_sse(U, V, ub, chunk=cfg.chunk)
+        return U, V, sse
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def _fit(U, V, ub, ib):
         def body(carry, _):
             U, V = carry
-            U = half_sweep(V, ub, n_users, cfg)
-            if explicit:
-                # SSE falls out of the item half-sweep's solves for free and
-                # equals masked_sse(U_new, V_new) (tested).
-                V, sse = half_sweep(U, ib, n_items, cfg, with_sse=True)
-            else:
-                V = half_sweep(U, ib, n_items, cfg)
-                sse = masked_sse(U, V, ub, chunk=cfg.chunk)
+            U, V, sse = one_sweep(U, V, ub, ib)
             return (U, V), sse
 
         (U, V), sse = jax.lax.scan(body, (U, V), None, length=n_sweeps)
         return U, V, sse
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _fit_tol(U, V, ub, ib):
+        hist0 = jnp.full((n_sweeps,), -1.0, jnp.float32)  # -1 = not run
+        # (a NaN sentinel would trip jax_debug_nans, which tests enable)
+
+        def cond(carry):
+            _, _, hist, i = carry
+            prev = jnp.sqrt(hist[jnp.maximum(i - 2, 0)] / nnz)
+            cur = jnp.sqrt(hist[jnp.maximum(i - 1, 0)] / nnz)
+            improving = jnp.logical_or(i < 2, jnp.abs(prev - cur) >= tol)
+            return jnp.logical_and(i < n_sweeps, improving)
+
+        def body(carry):
+            U, V, hist, i = carry
+            U, V, sse = one_sweep(U, V, ub, ib)
+            return U, V, hist.at[i].set(sse), i + 1
+
+        U, V, hist, _ = jax.lax.while_loop(
+            cond, body, (U, V, hist0, jnp.int32(0)))
+        return U, V, hist
+
     def fit(U, V):
+        if tol > 0:
+            return _fit_tol(U, V, user_buckets, item_buckets)
         return _fit(U, V, user_buckets, item_buckets)
 
     return fit

@@ -88,3 +88,18 @@ def test_tol_early_stop():
     R = tiny_problem(30, 25, density=0.3, seed=12)
     model = ALS(rank=4, reg=0.5, n_sweeps=50, tol=1e-3).fit(R)
     assert len(model.history_) < 50
+
+
+def test_tol_device_loop_matches_stepwise():
+    """tol > 0 runs as a device-side while_loop (zero host round-trips);
+    it must stop at the same sweep with the same history as the stepwise
+    host loop (verbose forces stepwise)."""
+    R = tiny_problem(40, 30, seed=41)
+    dev = ALS(rank=4, reg=0.5, n_sweeps=50, tol=1e-3, seed=3).fit(R)
+    host = ALS(rank=4, reg=0.5, n_sweeps=50, tol=1e-3, seed=3,
+               verbose=1).fit(R)
+    assert len(dev.history_) == len(host.history_) < 50
+    # the scanned path reads SSE out of the item half-sweep, the
+    # stepwise path recomputes masked_sse: ~1e-5-relative differences
+    np.testing.assert_allclose(dev.history_, host.history_, rtol=5e-4)
+    np.testing.assert_allclose(dev.U_, host.U_, rtol=1e-4, atol=1e-5)
