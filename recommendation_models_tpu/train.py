@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     engine.add_argument("--hot-cols", type=int, default=None,
                         help="hot-column block width; default auto "
                              "(kernel VMEM cap at this rank), 0 disables")
+    engine.add_argument("--dense-min-degree", type=int, default=None,
+                        help="rows denser than this solve on the dense "
+                             "gramian path; default auto (rank-aware "
+                             "break-even, config.dense_min_degree_for_rank)")
     engine.add_argument("--exchange", default="allgather",
                         choices=["allgather", "all_to_all"])
     engine.add_argument("--platform", default=None,
@@ -136,6 +140,7 @@ def main(argv: Optional[list] = None) -> int:
                     solver=args.solver, compute_dtype=args.compute_dtype,
                     n_shards=args.n_shards, exchange=args.exchange,
                     platform=args.platform, hot_cols=args.hot_cols,
+                    dense_min_degree=args.dense_min_degree,
                     checkpoint_dir=args.checkpoint_dir,
                     checkpoint_every=args.checkpoint_every,
                     verbose=max(args.verbose - 1, 0))

@@ -90,13 +90,15 @@ def test_tol_early_stop():
     assert len(model.history_) < 50
 
 
-def test_tol_device_loop_matches_stepwise():
+@pytest.mark.parametrize("alpha", [None, 0.5])
+def test_tol_device_loop_matches_stepwise(alpha):
     """tol > 0 runs as a device-side while_loop (zero host round-trips);
     it must stop at the same sweep with the same history as the stepwise
     host loop (verbose forces stepwise)."""
     R = tiny_problem(40, 30, seed=41)
-    dev = ALS(rank=4, reg=0.5, n_sweeps=50, tol=1e-3, seed=3).fit(R)
-    host = ALS(rank=4, reg=0.5, n_sweeps=50, tol=1e-3, seed=3,
+    dev = ALS(rank=4, reg=0.5, alpha=alpha, n_sweeps=50, tol=1e-3,
+              seed=3).fit(R)
+    host = ALS(rank=4, reg=0.5, alpha=alpha, n_sweeps=50, tol=1e-3, seed=3,
                verbose=1).fit(R)
     assert len(dev.history_) == len(host.history_) < 50
     # the scanned path reads SSE out of the item half-sweep, the
