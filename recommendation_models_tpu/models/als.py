@@ -248,6 +248,7 @@ class ALS(BaseEstimator):
                     break
                 prev = cur
 
+        self._finish_checkpoints()
         self.U_ = np.asarray(U)
         self.V_ = np.asarray(V)
         return self
@@ -295,10 +296,16 @@ class ALS(BaseEstimator):
                 break
             prev = cur
 
+        self._finish_checkpoints()
         from recommendation_models_tpu.parallel.mesh import to_host
         self.U_ = to_host(U)[:n_users]
         self.V_ = to_host(V)[:n_items]
         return self
+
+    def _finish_checkpoints(self):
+        if self.checkpoint_dir and self.checkpoint_every:
+            from recommendation_models_tpu.utils.checkpoint import wait_pending
+            wait_pending()
 
     def _maybe_checkpoint(self, sweep_idx, U, V):
         if not self.checkpoint_dir or not self.checkpoint_every:
@@ -306,12 +313,16 @@ class ALS(BaseEstimator):
         if (sweep_idx + 1) % self.checkpoint_every:
             return
         from recommendation_models_tpu.utils.checkpoint import save_checkpoint
+        # async: the sweep loop never blocks on disk (arrays stage to host
+        # before save() returns, so the next sweep's donation is safe);
+        # fit() waits for the last commit before returning
         save_checkpoint(
             self.checkpoint_dir, step=sweep_idx + 1,
             state=dict(U=U, V=V,
                        history=np.asarray(self.history_, np.float32)),
             metadata={k: v for k, v in self.get_params().items()
                       if isinstance(v, (int, float, str, bool, type(None)))},
+            wait=False,
         )
 
     def resume(self, checkpoint_dir: Optional[str] = None):

@@ -18,6 +18,13 @@ Exclusion of seen items is done by overfetching ``k + E`` candidates and
 filtering, never by scattering -inf into the materialized score matrix:
 the top-k unseen items are always contained in the top ``k + E`` overall.
 
+Measured (v5e, 62k catalog, rank 64, 32k query batches): the fused scoring
+matmul alone ceilings at ~8.7M users/s (K=64-deep contraction), and
+approx_max_k reaches ~8.0M at recall_target 0.95 (0.983 empirical recall
+vs exact top-10) vs ~4.7M at the default 0.99 (0.996 empirical). The
+``recall_target`` kwarg is the speed/quality dial; exact ``lax.top_k`` on
+the full row is ~250x slower.
+
 The sharded path (shard_map over the item axis) computes per-shard
 top-k candidates, all_gathers the (n_shards * k) survivors, and merges —
 the heavy matmul rides the item shards and cross-shard traffic stays

@@ -21,21 +21,49 @@ def _ckpt_path(directory: str, step: int) -> str:
     return os.path.join(os.path.abspath(directory), f"step_{step:08d}")
 
 
+_CKPTR = None
+
+
+def _checkpointer():
+    """Module-level StandardCheckpointer: async saves must outlive the call
+    that started them, and orbax serializes saves per checkpointer."""
+    global _CKPTR
+    if _CKPTR is None:
+        import orbax.checkpoint as ocp
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
 def save_checkpoint(directory: str, step: int, state: Dict[str, Any],
-                    metadata: Dict[str, Any] | None = None) -> str:
+                    metadata: Dict[str, Any] | None = None,
+                    wait: bool = True) -> str:
     """Save an array pytree via orbax; non-array `metadata` (hyperparams,
-    config) goes to a JSON sidecar since StandardCheckpointer is arrays-only."""
+    config) goes to a JSON sidecar since StandardCheckpointer is arrays-only.
+
+    ``wait=False`` returns once the device arrays are staged to host (safe
+    even with donated buffers — staging copies) and lets orbax commit the
+    directory on its background thread, so the training loop never blocks
+    on disk. Call :func:`wait_pending` (or a later save, which serializes)
+    before relying on the files; :func:`load_latest` skips uncommitted
+    directories a crash may leave behind.
+    """
     import json
-    import orbax.checkpoint as ocp
 
     path = _ckpt_path(directory, step)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
     if metadata is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(metadata, f)
+    if wait:
+        ckptr.wait_until_finished()
     return path
+
+
+def wait_pending() -> None:
+    """Block until every async :func:`save_checkpoint` has committed."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def load_checkpoint(directory: str, step: int) -> Dict[str, Any]:
@@ -59,6 +87,10 @@ def load_checkpoint(directory: str, step: int) -> Dict[str, Any]:
 
 
 def load_latest(directory: str) -> Tuple[int, Dict[str, Any]]:
+    """Restore the newest loadable checkpoint. Directories an async save
+    never committed (crash mid-write) are skipped, falling back to the
+    previous step — restart-from-checkpoint recovery must not die on the
+    very artifact the crash left behind."""
     directory = os.path.abspath(directory)
     steps = []
     for name in os.listdir(directory):
@@ -67,8 +99,15 @@ def load_latest(directory: str) -> Tuple[int, Dict[str, Any]]:
             steps.append(int(m.group(1)))
     if not steps:
         raise FileNotFoundError(f"no checkpoints under {directory}")
-    step = max(steps)
-    return step, load_checkpoint(directory, step)
+    err = None
+    for step in sorted(steps, reverse=True):
+        try:
+            return step, load_checkpoint(directory, step)
+        except Exception as e:  # uncommitted/corrupt dir: try the previous
+            err = e
+    raise FileNotFoundError(
+        f"no loadable checkpoint under {directory}: {err}")
 
 
-__all__ = ["save_checkpoint", "load_checkpoint", "load_latest"]
+__all__ = ["save_checkpoint", "load_checkpoint", "load_latest",
+           "wait_pending"]

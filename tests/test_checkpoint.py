@@ -46,3 +46,19 @@ def test_als_checkpoints_and_resume(tmp_path):
 def test_load_latest_empty_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         load_latest(str(tmp_path))
+
+
+def test_async_save_and_crash_robust_load_latest(tmp_path):
+    """wait=False saves commit on a background thread (wait_pending joins);
+    load_latest skips a directory a crashed async save never committed."""
+    import os
+    from recommendation_models_tpu.utils.checkpoint import wait_pending
+    for s in (1, 2):
+        save_checkpoint(str(tmp_path), step=s,
+                        state=dict(U=np.full((4, 3), float(s))), wait=False)
+    wait_pending()
+    # fake an uncommitted (empty) newer step dir, as a mid-write crash leaves
+    os.makedirs(tmp_path / "step_00000009")
+    step, state = load_latest(str(tmp_path))
+    assert step == 2
+    np.testing.assert_array_equal(state["U"], np.full((4, 3), 2.0))
