@@ -110,6 +110,14 @@ class DataConfig:
     # column's slab matmul cost (n_rows * k^2 * 2 / peak) equals the gather
     # cost of its observations (~5.7 ns each) at k=64 on v5e.
     hot_min_count: Optional[int] = None
+    # Adaptive bucket merging (opt-in): lift a bucket into the next wider
+    # pad while the extra padded slots per lift stay under this. ISOLATED
+    # half-sweep probes measured wins (ML-25M item side 15 buckets -> 4,
+    # 154 -> 127 ms) but the WHOLE jitted epoch regressed 0.254 -> 0.439 s
+    # at slack=500k — yet another case of microbenches failing to predict
+    # in-program behavior (see layout.py + CLAUDE.md). Default 0 = off;
+    # kept as a knob for other dataset shapes.
+    bucket_merge_slack: int = 0
     # Pad each bucket's row count to a multiple of this (sublane alignment).
     row_multiple: int = 8
     # Cap on padding blowup before a row is split across chunks internally.

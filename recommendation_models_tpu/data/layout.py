@@ -235,6 +235,40 @@ def build_layout(
     # the searchsorted index in range)
     pads = grid[np.minimum(np.searchsorted(grid, degrees), grid.size - 1)]
 
+    # Adaptive bucket merging (OPT-IN, default off): greedily lift a bucket
+    # into the next wider pad while the extra padded slots stay under
+    # bucket_merge_slack. History: isolated half-sweep probes measured wins
+    # (ML-25M item side 15 -> 4 buckets, 154 -> 127 ms; a 3-bucket variant
+    # even hit 107 ms) BUT the whole jitted epoch regressed 0.254 -> 0.439 s
+    # at slack=500k — isolated probes keep failing to predict in-program
+    # behavior on this workload (same lesson as the grouped-gather and
+    # lane-packing experiments). Row-count-based merge rules were also
+    # tried: strictly worse and composition-unstable (107-300 ms for the
+    # same bucket COUNT depending on which pads fused). Left as a knob for
+    # other dataset shapes; validate with whole-epoch numbers only.
+    slack = int(getattr(cfg, "bucket_merge_slack", 0))
+    if slack > 0:
+        nd = ~is_dense if is_dense.any() else np.ones(n_rows, bool)
+        uniq, cnts = np.unique(pads[nd], return_counts=True)
+        remap = {}
+        g_rows, g_pad, g_members = 0, -1, []
+        for p, c in zip(uniq.tolist(), cnts.tolist()):
+            lift = g_rows * (p - g_pad) if g_pad >= 0 else 0
+            if g_pad >= 0 and lift <= slack:
+                g_members.append(p)
+                g_rows += c
+            else:
+                g_members, g_rows = [p], c
+            g_pad = p
+            for q in g_members:
+                remap[q] = p
+        if any(remap[q] != q for q in remap):
+            tgt = np.asarray([remap[int(q)] for q in uniq], dtype=np.int64)
+            pos = np.clip(np.searchsorted(uniq, pads), 0, uniq.size - 1)
+            # dense rows' pads may not appear in uniq: leave them unchanged
+            # (they take no bucket anyway)
+            pads = np.where(uniq[pos] == pads, tgt[pos], pads)
+
     buckets = []
     for pad in np.unique(pads[~is_dense]) if is_dense.any() else np.unique(pads):
         pad = int(pad)

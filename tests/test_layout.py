@@ -166,3 +166,44 @@ def test_layout_cache_roundtrip(tmp_path):
     assert not calls
     cached_layout(str(tmp_path / "other.npz"), build)   # missing -> builds
     assert len(calls) == 1
+
+
+def test_bucket_merge_slack_correctness():
+    """Opt-in bucket merging must be a pure layout transform: same solves,
+    fewer buckets, padding contributes zero (whole-epoch perf validation
+    lives in layout.py notes — this guards correctness only)."""
+    from recommendation_models_tpu.config import DataConfig
+    from recommendation_models_tpu.models.als import ALS
+    from tests.conftest import tiny_problem
+    R = tiny_problem(60, 45, density=0.3, seed=50)
+    import numpy as np
+    rng = np.random.default_rng(9)
+    U0 = 0.1 * rng.standard_normal((60, 5)).astype(np.float32)
+    V0 = 0.1 * rng.standard_normal((45, 5)).astype(np.float32)
+    base = ALS(rank=5, reg=0.2, n_sweeps=3).fit(R, U0=U0, V0=V0)
+
+    from recommendation_models_tpu.data.layout import build_layout, csr_arrays
+    indptr, indices, data, nu, ni = csr_arrays(R)
+    merged = build_layout(indptr, indices, data, nu, ni,
+                          DataConfig(bucket_merge_slack=1_000_000))
+    plain = build_layout(indptr, indices, data, nu, ni, DataConfig())
+    assert len(merged.buckets) < len(plain.buckets)
+    assert merged.nnz == plain.nnz
+
+    from recommendation_models_tpu.solver.als_sweep import (
+        device_buckets, make_sweep_fns)
+    from recommendation_models_tpu.config import SolveConfig
+    # the item orientation merged via the COO path (transpose)
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    users = np.repeat(np.arange(nu), np.diff(indptr))
+    item_merged = layout_from_coo(users, indices, data, nu, ni,
+                                  DataConfig(bucket_merge_slack=1_000_000),
+                                  transpose=True)
+    scfg = SolveConfig(rank=5, reg=0.2)
+    sweep, _ = make_sweep_fns(device_buckets(merged),
+                              device_buckets(item_merged), nu, ni, scfg)
+    import jax.numpy as jnp
+    U, V = jnp.asarray(U0), jnp.asarray(V0)
+    for _ in range(3):
+        U, V = sweep(U, V)
+    np.testing.assert_allclose(np.asarray(U), base.U_, rtol=2e-4, atol=2e-5)
