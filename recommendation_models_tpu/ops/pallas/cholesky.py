@@ -175,6 +175,20 @@ def _cholesky_solve_kernel(g_ref, rhs_ref, reg_ref, out_ref, a_ref, y_ref,
     _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref)
 
 
+# (rank-1 body above kept as the reference variant; the pair body below is
+# the default everywhere — bit-identical results, fewer RMW passes)
+def _cholesky_solve_kernel_pair(g_ref, rhs_ref, reg_ref, out_ref, a_ref,
+                                y_ref, x_ref):
+    """Rank-1 kernel with the rank-2 factorization body (_factor_body_pair:
+    two columns per trailing read-modify-write pass)."""
+    k, _, bt = a_ref.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
+    a_ref[:] = (g_ref[:].astype(jnp.float32)
+                + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
+    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=True)
+
+
 def _cholesky_solve_kernel_2g(g_ref, g2_ref, rhs_ref, reg_ref, out_ref,
                               a_ref, y_ref, x_ref):
     """Two-operand variant: ``A = G1 + G2 + reg I`` summed in VMEM on load.
@@ -191,7 +205,7 @@ def _cholesky_solve_kernel_2g(g_ref, g2_ref, rhs_ref, reg_ref, out_ref,
     ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
     a_ref[:] = (g_ref[:].astype(jnp.float32) + g2_ref[:].astype(jnp.float32)
                 + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
-    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref)
+    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=True)
 
 
 def hot_cols_cap(k: int) -> int:
@@ -300,11 +314,67 @@ def _cholesky_solve_kernel_hot(alpha, eps, bt, g_hbm, hv_ref, vT_ref,
                 + ghot.reshape(k, k, bt)
                 + jnp.where(ri == ci, 1.0, 0.0) * reg[None])
     out_ref[:] = rhs_ref[:] + rhot
-    _factor_solve_body(a_ref, out_ref, out_ref, y_ref, x_ref)
+    _factor_solve_body(a_ref, out_ref, out_ref, y_ref, x_ref, pair=True)
 
 
-def _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref):
+def _factor_body_pair(a_ref):
+    """Rank-2 factorization: TWO columns per trailing-update pass.
+
+    The rank-1 body's dominant cost is the read-modify-write of the (k, k,
+    BT) block every step; fusing columns (j, j+1) halves those passes. The
+    inter-column correction is cheap — column/row j+1 corrected by column
+    j's rank-1 on (k, 1, bt)/(1, k, bt) vectors, with the two cross terms
+    (ct1 at column j+1, c1 at row j+1) extracted by masked reduces (the
+    same no-dynamic-value-slicing trick as the diagonal). Unlike the
+    rank-8 panel variant (slower, see cholesky_solve docstring) there is
+    no panel scratch and only 2 extra reduces per pair.
+    """
+    k, _, bt = a_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+    RP = 8
+
+    def pair_step(q, carry):
+        j = 2 * q
+        d1 = a_ref[pl.ds(j, 1), pl.ds(j, 1), :]                 # (1, 1, bt)
+        inv1 = jax.lax.rsqrt(jnp.maximum(d1, 1e-30))
+        col1 = a_ref[:, pl.ds(j, 1), :]                         # (k, 1, bt)
+        row1 = a_ref[pl.ds(j, 1), :, :]                         # (1, k, bt)
+        c1 = jnp.where(rows > j, col1 * inv1, 0.0)
+        ct1 = jnp.where(cols > j, row1 * inv1, 0.0)
+        # column/row j+1, corrected by (c1, ct1) in registers
+        ct1_at = jnp.sum(jnp.where(cols == j + 1, ct1, 0.0), axis=1,
+                         keepdims=True)                         # (1, 1, bt)
+        c1_at = jnp.sum(jnp.where(rows == j + 1, c1, 0.0), axis=0,
+                        keepdims=True)                          # (1, 1, bt)
+        col2 = a_ref[:, pl.ds(j + 1, 1), :] - c1 * ct1_at
+        row2 = a_ref[pl.ds(j + 1, 1), :, :] - c1_at * ct1
+        d2 = jnp.sum(jnp.where(cols == j + 1, row2, 0.0), axis=1,
+                     keepdims=True)
+        inv2 = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+        c2 = jnp.where(rows > j + 1, col2 * inv2, 0.0)
+        ct2 = jnp.where(cols > j + 1, row2 * inv2, 0.0)
+        for r in range(k // RP):
+            @pl.when(j < (r + 1) * RP)
+            def _upd(r=r):
+                sl = pl.ds(r * RP, RP)
+                a_ref[sl, :, :] = (a_ref[sl, :, :]
+                                   - c1[r * RP:(r + 1) * RP] * ct1
+                                   - c2[r * RP:(r + 1) * RP] * ct2)
+        a_ref[:, pl.ds(j, 1), :] = jnp.where(rows == j, d1 * inv1, c1)
+        a_ref[:, pl.ds(j + 1, 1), :] = jnp.where(rows == j + 1,
+                                                 d2 * inv2, c2)
+        return carry
+
+    jax.lax.fori_loop(0, k // 2, pair_step, 0, unroll=False)
+
+
+def _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=False):
     """Shared rank-1 factorization + substitutions over a loaded A block."""
+    if pair:
+        _factor_body_pair(a_ref)
+        _substitutions(a_ref, rhs_ref, out_ref, y_ref, x_ref)
+        return
     k, _, bt = a_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
@@ -333,6 +403,12 @@ def _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref):
         return carry
 
     jax.lax.fori_loop(0, k, fact_step, 0, unroll=False)
+    _substitutions(a_ref, rhs_ref, out_ref, y_ref, x_ref)
+
+
+def _substitutions(a_ref, rhs_ref, out_ref, y_ref, x_ref):
+    """Forward + backward substitution against a factored A block."""
+    k, _, bt = a_ref.shape
 
     # ---- forward substitution: L y = rhs (y is (1, k, BT)) ----------------
     y_ref[:] = jnp.zeros((1, k, bt), jnp.float32)
@@ -364,10 +440,11 @@ def _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref):
     jax.lax.fori_loop(0, k, bwd_step, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "panel"))
+@functools.partial(jax.jit, static_argnames=("interpret", "panel", "pair"))
 def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
                       interpret: bool = False,
                       panel: bool = True,
+                      pair: bool = True,
                       Gt2: jnp.ndarray = None) -> jnp.ndarray:
     """Batch-minor entry: Gt (k, k, B) (ridge NOT yet added), rhst (k, B),
     regv (1, B) per-system ridge -> x (k, B).
@@ -407,8 +484,9 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
         operands = (Gt, Gt2, rhst, regv)
         g_specs = [g_spec, g_spec]
     else:
-        kernel = _cholesky_solve_kernel_panel if panel \
-            else _cholesky_solve_kernel
+        kernel = (_cholesky_solve_kernel_panel if panel
+                  else _cholesky_solve_kernel_pair if pair
+                  else _cholesky_solve_kernel)
         operands = (Gt, rhst, regv)
         g_specs = [g_spec]
     return pl.pallas_call(
