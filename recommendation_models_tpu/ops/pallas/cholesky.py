@@ -328,6 +328,12 @@ def _factor_body_pair(a_ref):
     same no-dynamic-value-slicing trick as the diagonal). Unlike the
     rank-8 panel variant (slower, see cholesky_solve docstring) there is
     no panel scratch and only 2 extra reduces per pair.
+
+    Rank-2 is the measured sweet spot: rank-1 -> rank-2 is -8% at k=64 and
+    -18% at k=128 (bit-identical), but a register-resident rank-4 (no
+    scratch, corrections in values) measured 37-57% SLOWER than rank-2 —
+    the O(W^2) masked-reduce cross-terms grow faster than the saved
+    read-modify-write passes shrink. Do not widen further.
     """
     k, _, bt = a_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
