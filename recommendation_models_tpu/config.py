@@ -28,7 +28,7 @@ class SolveConfig:
     # HBM budget (MB) for one gathered (rows, P, k) block: big buckets are
     # scanned in row-blocks this size, scatter-adding into the dense normal
     # equations, so the gather temp never scales with the bucket.
-    gather_budget_mb: int = 256
+    gather_budget_mb: int = 8
     # 'auto' = pallas on TPU / xla elsewhere; 'xla' = jnp.linalg.cholesky +
     # triangular solves (correctness anchor); 'pallas' = fused Pallas kernel;
     # 'lu' = jnp.linalg.solve fallback for ill-conditioned tests.
