@@ -5,7 +5,9 @@ on TPU and the XLA anchor elsewhere). With a real MovieLens download,
 replace the synthetic block with:
 
     from recommendation_models_tpu.data.movielens import load_ratings_file, to_csr
-    users, items, ratings, n_users, n_items = load_ratings_file("ml-1m/ratings.dat")
+    d = load_ratings_file("ml-1m/ratings.dat")   # returns a dict
+    users, items, ratings = d["users"], d["items"], d["ratings"]
+    n_users, n_items = d["n_users"], d["n_items"]
 """
 
 import os, sys

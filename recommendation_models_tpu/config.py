@@ -25,9 +25,12 @@ class SolveConfig:
     # Gather/gram chunk along the padded-degree axis; bounds VMEM/HBM use for
     # whale rows (SURVEY.md §5 "long-context" analog: chunked gram accumulation).
     chunk: int = 512
-    # HBM budget (MB) for one gathered (rows, P, k) block: big buckets are
-    # scanned in row-blocks this size, scatter-adding into the dense normal
-    # equations, so the gather temp never scales with the bucket.
+    # Row-block budget (MB) for one gathered (rows, P, k) block: big buckets
+    # are scanned in row-blocks this size. Originally a 256 MB HBM-OOM cap;
+    # now primarily a scan-PIPELINING lever — 8 MB blocks let XLA overlap a
+    # block's gathers with the previous block's solve (ML-25M rank-64 epoch
+    # 0.34 -> 0.25 s vs 256 MB; re-measured rank-128 and synth100m, see
+    # docs/PERF.md 'gather budget').
     gather_budget_mb: int = 8
     # 'auto' = pallas on TPU / xla elsewhere; 'xla' = jnp.linalg.cholesky +
     # triangular solves (correctness anchor); 'pallas' = fused Pallas kernel;
@@ -120,8 +123,6 @@ class DataConfig:
     bucket_merge_slack: int = 0
     # Pad each bucket's row count to a multiple of this (sublane alignment).
     row_multiple: int = 8
-    # Cap on padding blowup before a row is split across chunks internally.
-    seed: int = 0
 
 
 def dense_min_degree_for_rank(rank: int, max_bucket: int = 4096) -> int:
@@ -144,7 +145,6 @@ class FitConfig:
 
     n_sweeps: int = 10
     tol: float = 0.0  # 0 => always run n_sweeps (deterministic benches)
-    eval_every: int = 1
     seed: int = 0
     init_scale: float = 0.01
     checkpoint_dir: Optional[str] = None

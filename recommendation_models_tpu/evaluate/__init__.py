@@ -2,7 +2,13 @@ from recommendation_models_tpu.evaluate.metrics import (
     rmse,
     recall_at_k,
     ndcg_at_k,
+    take_groups,
 )
-from recommendation_models_tpu.evaluate.protocol import leave_n_out
+from recommendation_models_tpu.evaluate.protocol import (
+    grouped_by_user,
+    leave_n_out,
+    relevant_by_user,
+)
 
-__all__ = ["rmse", "recall_at_k", "ndcg_at_k", "leave_n_out"]
+__all__ = ["rmse", "recall_at_k", "ndcg_at_k", "take_groups",
+           "grouped_by_user", "leave_n_out", "relevant_by_user"]

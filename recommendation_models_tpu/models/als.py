@@ -390,20 +390,60 @@ class ALS(BaseEstimator):
         self._check_fitted()
         user_ids = np.atleast_1d(np.asarray(user_ids, np.int64))
         n = min(n, self.V_.shape[0])  # never ask top_k for more than exists
-        exclude = None
-        if exclude_seen and hasattr(self, "_train_indptr"):
-            indptr, indices = self._train_indptr, self._train_indices
-            degs = [indptr[u + 1] - indptr[u] for u in user_ids]
-            width = max(1, max(degs, default=1))
-            exclude = np.full((len(user_ids), width), -1, np.int32)
-            for r, u in enumerate(user_ids):
-                lo, hi = indptr[u], indptr[u + 1]
-                exclude[r, : hi - lo] = indices[lo:hi]
-            exclude = jnp.asarray(exclude)
-        scores, items = topk_scores(
-            jnp.asarray(self.U_[user_ids]), jnp.asarray(self.V_), n, exclude,
-            method=method, recall_target=recall_target)
-        return np.asarray(scores), np.asarray(items)
+        V_dev = jnp.asarray(self.V_)
+        if not (exclude_seen and hasattr(self, "_train_indptr")):
+            scores, items = topk_scores(
+                jnp.asarray(self.U_[user_ids]), V_dev, n, None,
+                method=method, recall_target=recall_target)
+            return np.asarray(scores), np.asarray(items)
+
+        # Exclusion overfetch is k + the batch's max degree, so one whale
+        # user (ML-25M degree 10^4+) would drag every row's approx_max_k to
+        # near-catalog width. Degree-bucket the batch: sort users by degree,
+        # cut at geometric width levels, and give each group its own
+        # exclusion width + top-k call. Host prep is all vectorized.
+        indptr = np.asarray(self._train_indptr, np.int64)
+        indices = np.asarray(self._train_indices)
+        degs = indptr[user_ids + 1] - indptr[user_ids]
+        order = np.argsort(degs, kind="stable")
+        sd = degs[order]
+        batch = user_ids.shape[0]
+        out_s = np.empty((batch, n), np.float32)
+        out_i = np.empty((batch, n), np.int64)
+
+        levels, w = [], 32
+        maxd = int(sd[-1]) if batch else 0
+        while True:
+            levels.append(w)
+            if w >= maxd:
+                break
+            w *= 4
+        cuts = np.searchsorted(sd, np.asarray(levels), side="right")
+        cols = None
+        start = 0
+        for cut in cuts:
+            if cut <= start:
+                continue
+            grp = order[start:cut]
+            width = max(1, int(sd[cut - 1]))   # group max degree
+            start = cut
+            lo = indptr[user_ids[grp]]
+            gdeg = degs[grp]
+            cols = np.arange(width, dtype=np.int64)[None, :]
+            valid = cols < gdeg[:, None]
+            pos = np.where(valid, lo[:, None] + cols, 0)
+            excl = np.where(valid, indices[pos], -1).astype(np.int32)
+            # chunk the queries so the exact (CPU) path's materialized
+            # score blocks stay bounded
+            for q in range(0, grp.shape[0], 16_384):
+                sl = slice(q, q + 16_384)
+                sc, it = topk_scores(
+                    jnp.asarray(self.U_[user_ids[grp[sl]]]), V_dev, n,
+                    jnp.asarray(excl[sl]),
+                    method=method, recall_target=recall_target)
+                out_s[grp[sl]] = np.asarray(sc)
+                out_i[grp[sl]] = np.asarray(it)
+        return out_s, out_i
 
     def top_n(self, user: int, n: int = 10, exclude_seen: bool = True):
         """Single-user convenience: ranked item ids."""

@@ -86,10 +86,11 @@ def _half_sweep_local(V_loc, buckets, plan, n_local_rows, cfg: SolveConfig, axis
     return U_new
 
 
-def _local_sse(U_loc, V_src, buckets, chunk):
+def _local_sse(U_loc, V_src, buckets, cfg: SolveConfig):
     from recommendation_models_tpu.solver.als_sweep import masked_sse
 
-    return masked_sse(U_loc, V_src, _local_buckets(buckets), chunk=chunk)
+    return masked_sse(U_loc, V_src, _local_buckets(buckets), chunk=cfg.chunk,
+                      gather_budget_mb=cfg.gather_budget_mb)
 
 
 class ShardedALSProgram:
@@ -185,7 +186,7 @@ class ShardedALSProgram:
         self._iplan = (None if i_plan is None
                        else dict(req_local=shard_put(i_plan.req_local)))
 
-        upr, ipr, chunk = self.upr, self.ipr, cfg.chunk
+        upr, ipr = self.upr, self.ipr
 
         def spec_like(x):
             return P(axis, *([None] * (x.ndim - 1)))
@@ -209,7 +210,7 @@ class ShardedALSProgram:
 
         def sse_body(U_loc, V_loc, ub, uplan):
             V_src = _exchange_source(V_loc, uplan, axis)
-            return jax.lax.psum(_local_sse(U_loc, V_src, ub, chunk), axis)
+            return jax.lax.psum(_local_sse(U_loc, V_src, ub, cfg), axis)
 
         sweep_sm = shard_map(
             sweep_body, mesh=mesh,

@@ -339,7 +339,7 @@ def masked_sse(
     V: jnp.ndarray,
     buckets: DeviceBuckets,
     chunk: int = 512,
-    gather_budget_mb: int = 256,
+    gather_budget_mb: int = SolveConfig.gather_budget_mb,
 ) -> jnp.ndarray:
     """Sum of squared residuals over observed entries: Σ mask (r - u·v)^2.
 
@@ -459,7 +459,8 @@ def make_sweep_fns(
 
     @jax.jit
     def _train_sse(U, V, ub):
-        return masked_sse(U, V, ub, chunk=cfg.chunk)
+        return masked_sse(U, V, ub, chunk=cfg.chunk,
+                          gather_budget_mb=cfg.gather_budget_mb)
 
     def sweep(U, V):
         return _sweep(U, V, user_buckets, item_buckets)
@@ -503,7 +504,8 @@ def make_scanned_fit(
             V, sse = half_sweep(U, ib, n_items, cfg, with_sse=True)
         else:
             V = half_sweep(U, ib, n_items, cfg)
-            sse = masked_sse(U, V, ub, chunk=cfg.chunk)
+            sse = masked_sse(U, V, ub, chunk=cfg.chunk,
+                             gather_budget_mb=cfg.gather_budget_mb)
         return U, V, sse
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

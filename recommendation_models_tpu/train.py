@@ -176,13 +176,13 @@ def main(argv: Optional[list] = None) -> int:
     if test is not None and hasattr(model, "rmse"):
         summary["test_rmse"] = float(model.rmse(test))
     if test is not None and hasattr(model, "recommend") and args.model == "als":
-        from recommendation_models_tpu.evaluate import ndcg_at_k, recall_at_k
-        from recommendation_models_tpu.evaluate.protocol import relevant_by_user
+        from recommendation_models_tpu.evaluate import (
+            grouped_by_user, ndcg_at_k, recall_at_k, take_groups)
         tu, ti = test.nonzero()
-        rel = relevant_by_user(tu, ti, n_users)
-        eval_users = np.flatnonzero([len(r) > 0 for r in rel])[:50_000]
+        rel_indptr, rel_items = grouped_by_user(tu, ti, n_users)
+        eval_users = np.flatnonzero(np.diff(rel_indptr) > 0)[:50_000]
+        rel_eval = take_groups(rel_indptr, rel_items, eval_users)
         _, topk = model.recommend(eval_users, n=10, exclude_seen=True)
-        rel_eval = [rel[u] for u in eval_users]
         summary["recall_at_10"] = round(float(recall_at_k(topk, rel_eval)), 4)
         summary["ndcg_at_10"] = round(float(ndcg_at_k(topk, rel_eval)), 4)
     metrics.log(len(model.history_), **summary)

@@ -92,3 +92,31 @@ def test_sharded_topk_exclude(rng, cpu_mesh):
     s2, i2 = sharded_topk(jnp.asarray(U), jnp.asarray(V), 6, cpu_mesh,
                           exclude=jnp.asarray(exclude))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_recommend_degree_bucketed_matches_bruteforce():
+    # recommend() groups eval users by train degree (whales don't widen the
+    # whole batch's overfetch) — results must still match per-user brute
+    # force exclusion exactly.
+    import scipy.sparse as sp
+    from recommendation_models_tpu.models.als import ALS
+
+    rng = np.random.default_rng(11)
+    n_users, n_items = 60, 120
+    rows, cols, vals = [], [], []
+    for u in range(n_users):
+        deg = 100 if u == 7 else int(rng.integers(1, 12))  # one whale
+        its = rng.choice(n_items, deg, replace=False)
+        rows += [u] * deg
+        cols += list(its)
+        vals += list(rng.uniform(1, 5, deg))
+    R = sp.csr_matrix((vals, (rows, cols)), shape=(n_users, n_items))
+    model = ALS(rank=6, n_sweeps=3, seed=0).fit(R)
+    users = np.arange(n_users)
+    sc, it = model.recommend(users, n=5, exclude_seen=True, method="exact")
+    full = model.U_ @ model.V_.T
+    for u in users:
+        seen = set(R[int(u)].indices.tolist())
+        order = [i for i in np.argsort(-full[u]) if i not in seen][:5]
+        np.testing.assert_array_equal(it[u], order)
+        assert not (seen & set(it[u].tolist()))
