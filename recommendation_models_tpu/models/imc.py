@@ -20,7 +20,15 @@ segment-sum formulation on v5e.
 Sharded: users (and items, for the H update) row-shard along the 'data'
 mesh axis; grams/CG run per shard with ``psum`` on the (d, k) reductions —
 "IMC side-feature projections run data-parallel on the dense mesh"
-(SURVEY.md [B:5]).
+(SURVEY.md [B:5]). Arrays are placed with ``make_array_from_callback`` so
+the same program serves one process or a multi-host pod slice (mirrors
+parallel.sharded_als).
+
+Feature parity with ALS (SURVEY.md N8/N13): ``tol`` early stop,
+checkpoint/resume every N sweeps via orbax, packed on-disk layout cache.
+When no per-sweep callback is needed the whole fit stays ONE jitted
+``lax.scan`` device program; tol/checkpoint/verbose switch to a per-sweep
+host loop reusing one compiled length-1 program.
 """
 
 from __future__ import annotations
@@ -97,7 +105,9 @@ def _solve_factor(F, Z, buckets, n_rows, M0, reg, cg_iters, psum_axis=None):
 @functools.lru_cache(maxsize=64)
 def _imc_program(reg, cg_iters, n_sweeps, n_users, n_items):
     """Cached jitted whole-fit program (lax.scan over sweeps) so repeated
-    fits with the same config/shape reuse the compilation."""
+    fits with the same config/shape reuse the compilation. Returns
+    (W, H, obj (n_sweeps,)) where obj = ½ sse + λ/2(‖W‖²+‖H‖²) at each
+    sweep's end state."""
 
     @jax.jit
     def fit_all(W, H, X, Y, ub, ib):
@@ -105,8 +115,9 @@ def _imc_program(reg, cg_iters, n_sweeps, n_users, n_items):
             W, H = carry
             W, _ = _solve_factor(X, Y @ H, ub, n_users, W, reg, cg_iters)
             H, sse = _solve_factor(Y, X @ W, ib, n_items, H, reg, cg_iters)
-            regn = 0.5 * reg * (jnp.sum(W ** 2) + jnp.sum(H ** 2))
-            return (W, H), (sse, regn)
+            obj = (0.5 * sse
+                   + 0.5 * reg * (jnp.sum(W ** 2) + jnp.sum(H ** 2)))
+            return (W, H), obj
 
         (W, H), hist = jax.lax.scan(body, (W, H), None, length=n_sweeps)
         return W, H, hist
@@ -141,24 +152,52 @@ class IMC(BaseEstimator):
         rank: int = 8,
         reg: float = 0.1,
         n_sweeps: int = 10,
+        tol: float = 0.0,
         cg_iters: int = 50,
         seed: int = 0,
         init_scale: float = 0.1,
         n_shards: Optional[int] = None,
         platform: Optional[str] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 0,
+        layout_cache: Optional[str] = None,
         verbose: int = 0,
     ):
         self.rank = rank
         self.reg = reg
         self.n_sweeps = n_sweeps
+        self.tol = tol
         self.cg_iters = cg_iters
         self.seed = seed
         self.init_scale = init_scale
         self.n_shards = n_shards
         self.platform = platform
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.layout_cache = layout_cache
         self.verbose = verbose
 
     # ------------------------------------------------------------------
+    def _build_layouts(self, users, items, ratings, n_users, n_items, dcfg):
+        """Both orientations' padded layouts through the packed on-disk
+        cache (SURVEY.md §7 hard part 6), mirroring ALS._build_layouts."""
+        from recommendation_models_tpu.data.layout import layout_from_coo
+        from recommendation_models_tpu.data.layout_cache import cached_layout
+
+        def build_user():
+            return layout_from_coo(users, items, ratings, n_users, n_items,
+                                   config=dcfg)
+
+        def build_item():
+            return layout_from_coo(users, items, ratings, n_users, n_items,
+                                   transpose=True, config=dcfg)
+
+        prefix = self.layout_cache
+        return (cached_layout(f"{prefix}.imc.user.npz" if prefix else None,
+                              build_user),
+                cached_layout(f"{prefix}.imc.item.npz" if prefix else None,
+                              build_item))
+
     def fit(self, R, X, Y, W0=None, H0=None):
         """Fit W, H on observations of R with user features X, item features Y.
 
@@ -178,17 +217,14 @@ class IMC(BaseEstimator):
                 f"vs Y rows {n_items}")
 
         from recommendation_models_tpu.config import DataConfig
-        from recommendation_models_tpu.data.layout import layout_from_coo
         from recommendation_models_tpu.solver.als_sweep import device_buckets
 
         # IMC's gram consumer iterates gather buckets only — build without
         # the ALS dense-whale / hot-column blocks (wide buckets handle
         # whale rows here)
         dcfg = DataConfig(dense_whales=False, hot_cols=0)
-        user_layout = layout_from_coo(users, items, ratings, n_users, n_items,
-                                      config=dcfg)
-        item_layout = layout_from_coo(users, items, ratings, n_users, n_items,
-                                      transpose=True, config=dcfg)
+        user_layout, item_layout = self._build_layouts(
+            users, items, ratings, n_users, n_items, dcfg)
         reg, cg_iters = float(self.reg), int(self.cg_iters)
         rng = np.random.default_rng(self.seed)
         k = self.rank
@@ -199,35 +235,59 @@ class IMC(BaseEstimator):
              (self.init_scale
               * rng.standard_normal((Y.shape[1], k))).astype(np.float32))
 
-        if self.n_shards and self.n_shards > 1:
-            W, H, (sses, regns) = self._fit_sharded_grams(
-                X, Y, W, H, user_layout, item_layout)
+        stepwise = bool(self.verbose or self.tol > 0
+                        or (self.checkpoint_dir and self.checkpoint_every))
+        sharded = bool(self.n_shards and self.n_shards > 1)
+        if sharded:
+            run_sweeps = self._make_sharded_runner(X, Y, user_layout,
+                                                   item_layout)
         else:
             ub = device_buckets(user_layout)
             ib = device_buckets(item_layout)
-            fit_all = _imc_program(reg, cg_iters, self.n_sweeps,
-                                   n_users, n_items)
-            W, H, (sses, regns) = fit_all(jnp.asarray(W), jnp.asarray(H),
-                                          X, Y, ub, ib)
 
-        W, H = np.asarray(W), np.asarray(H)
-        # objective at each sweep's end state: ½‖residual‖² + λ/2(‖W‖²+‖H‖²)
-        self.history_ = list(0.5 * np.asarray(sses, np.float64)
-                             + np.asarray(regns, np.float64))
-        if self.verbose:
-            for s, obj in enumerate(self.history_):
-                print(f"[IMC] sweep {s + 1}: objective={obj:.6f}")
+            def run_sweeps(W, H, length):
+                fit_all = _imc_program(reg, cg_iters, length,
+                                       n_users, n_items)
+                return fit_all(jnp.asarray(W), jnp.asarray(H), X, Y, ub, ib)
 
-        self.W_ = W
-        self.H_ = H
+        if not stepwise:
+            # Whole fit = ONE device program (lax.scan over sweeps);
+            # no per-sweep host round trips (matters doubly over the
+            # remote-attached TPU tunnel).
+            W, H, hist = run_sweeps(W, H, self.n_sweeps)
+            self.history_ = list(np.asarray(hist, np.float64))
+        else:
+            # Per-sweep host loop reusing ONE compiled length-1 program:
+            # tol stopping (reference §3.1 'break if Δ < tol', applied to
+            # the objective), async checkpoints, verbose prints.
+            self.history_ = []
+            prev = None
+            for s in range(self.n_sweeps):
+                W, H, hist = run_sweeps(W, H, 1)
+                cur = float(np.asarray(hist)[-1])
+                self.history_.append(cur)
+                if self.verbose:
+                    print(f"[IMC] sweep {s + 1}: objective={cur:.6f}")
+                self._maybe_checkpoint(s, W, H)
+                if self.tol > 0 and prev is not None and abs(prev - cur) < self.tol:
+                    break
+                prev = cur
+            self._finish_checkpoints()
+
+        from recommendation_models_tpu.parallel.mesh import to_host
+        self.W_ = to_host(W) if sharded else np.asarray(W)
+        self.H_ = to_host(H) if sharded else np.asarray(H)
         self._X, self._Y = np.asarray(X), np.asarray(Y)
         return self
 
-    def _fit_sharded_grams(self, X, Y, W, H, user_layout, item_layout):
+    def _make_sharded_runner(self, X, Y, user_layout, item_layout):
         """Data-parallel fit: users (W step) and items (H step) row-sharded
         over the 'data' mesh axis; grams/CG per shard, psum on the (d, k)
-        reductions (SURVEY.md [B:5])."""
-        from jax.sharding import PartitionSpec as P
+        reductions (SURVEY.md [B:5]). Placement via
+        make_array_from_callback: each process places only its addressable
+        shards, so one process and a multi-host pod run the same code
+        (mirrors parallel.sharded_als.ShardedALSProgram)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
         from recommendation_models_tpu.data.layout import shard_layout
         from recommendation_models_tpu.parallel.mesh import get_mesh
 
@@ -240,59 +300,121 @@ class IMC(BaseEstimator):
         il = shard_layout(item_layout, S)
         n_users, n_items = X.shape[0], Y.shape[0]
 
+        def shard_put(x):
+            x = np.asarray(x)
+            sharding = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+
+        def repl_put(x):
+            x = np.asarray(x)
+            sharding = NamedSharding(mesh, P(*([None] * x.ndim)))
+            return jax.make_array_from_callback(
+                x.shape, sharding, lambda idx: x[idx])
+
         def pad_rows(A, rows_per_shard):
             return np.pad(np.asarray(A, np.float32),
                           ((0, rows_per_shard * S - A.shape[0]), (0, 0)))
 
-        Xp = pad_rows(X, ul.rows_per_shard)
-        Yp = pad_rows(Y, il.rows_per_shard)
+        Xp = shard_put(pad_rows(X, ul.rows_per_shard))
+        Yp = shard_put(pad_rows(Y, il.rows_per_shard))
 
         def put(layout):
             return tuple(
-                dict(row_ids=jnp.asarray(layout.row_ids[i]),
-                     indices=jnp.asarray(layout.indices[i]),
-                     values=jnp.asarray(layout.values[i]),
-                     mask=jnp.asarray(layout.mask[i]))
+                dict(row_ids=shard_put(layout.row_ids[i]),
+                     indices=shard_put(layout.indices[i]),
+                     values=shard_put(layout.values[i]),
+                     mask=shard_put(layout.mask[i]))
                 for i in range(len(layout.pads)))
 
         ub, ib = put(ul), put(il)
-        bspec = jax.tree.map(lambda x: P(axis, *([None] * (x.ndim - 1))), ub)
-        ispec = jax.tree.map(lambda x: P(axis, *([None] * (x.ndim - 1))), ib)
+        bspec = jax.tree.map(
+            lambda x: P(axis, *([None] * (x.ndim - 1))), ub)
+        ispec = jax.tree.map(
+            lambda x: P(axis, *([None] * (x.ndim - 1))), ib)
 
-        def body(W, H, X_loc, Y_loc, ub, ib):
-            ubl = tuple(dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
-                             values=b["values"][0], mask=b["mask"][0])
-                        for b in ub)
-            ibl = tuple(dict(row_ids=b["row_ids"][0], indices=b["indices"][0],
-                             values=b["values"][0], mask=b["mask"][0])
-                        for b in ib)
-            # Z/S towers must be GLOBAL tables: gram col ids are global
-            Y_full = jax.lax.all_gather(Y_loc, axis, axis=0, tiled=True)
-            X_full = jax.lax.all_gather(X_loc, axis, axis=0, tiled=True)
+        @functools.lru_cache(maxsize=8)
+        def make_prog(length):
+            def body(W, H, X_loc, Y_loc, ub, ib):
+                ubl = tuple(dict(row_ids=b["row_ids"][0],
+                                 indices=b["indices"][0],
+                                 values=b["values"][0], mask=b["mask"][0])
+                            for b in ub)
+                ibl = tuple(dict(row_ids=b["row_ids"][0],
+                                 indices=b["indices"][0],
+                                 values=b["values"][0], mask=b["mask"][0])
+                            for b in ib)
+                # Z/S towers must be GLOBAL tables: gram col ids are global
+                Y_full = jax.lax.all_gather(Y_loc, axis, axis=0, tiled=True)
+                X_full = jax.lax.all_gather(X_loc, axis, axis=0, tiled=True)
 
-            def sweep_body(carry, _):
-                W, H = carry
-                W, _ = _solve_factor(X_loc, (Y_full @ H)[:n_items],
-                                     ubl, X_loc.shape[0], W, reg_,
-                                     cg_, psum_axis=axis)
-                H, sse = _solve_factor(Y_loc, (X_full @ W)[:n_users],
-                                       ibl, Y_loc.shape[0], H, reg_,
-                                       cg_, psum_axis=axis)
-                regn = 0.5 * reg_ * (jnp.sum(W ** 2) + jnp.sum(H ** 2))
-                return (W, H), (sse, regn)
+                def sweep_body(carry, _):
+                    W, H = carry
+                    W, _ = _solve_factor(X_loc, (Y_full @ H)[:n_items],
+                                         ubl, X_loc.shape[0], W, reg_,
+                                         cg_, psum_axis=axis)
+                    H, sse = _solve_factor(Y_loc, (X_full @ W)[:n_users],
+                                           ibl, Y_loc.shape[0], H, reg_,
+                                           cg_, psum_axis=axis)
+                    obj = (0.5 * sse + 0.5 * reg_
+                           * (jnp.sum(W ** 2) + jnp.sum(H ** 2)))
+                    return (W, H), obj
 
-            (W, H), sses = jax.lax.scan(sweep_body, (W, H), None,
-                                        length=self.n_sweeps)
-            return W, H, sses
+                (W, H), hist = jax.lax.scan(sweep_body, (W, H), None,
+                                            length=length)
+                return W, H, hist
 
-        sm = jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P(), P(), P(axis, None), P(axis, None), bspec, ispec),
-            out_specs=(P(), P(), (P(), P())),
-            check_vma=False,
+            from jax.sharding import PartitionSpec as P2
+            sm = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P2(), P2(), P2(axis, None), P2(axis, None),
+                          bspec, ispec),
+                out_specs=(P2(), P2(), P2()),
+                check_vma=False,
+            )
+            return jax.jit(sm)
+
+        def run_sweeps(W, H, length):
+            return make_prog(length)(repl_put(W), repl_put(H),
+                                     Xp, Yp, ub, ib)
+
+        return run_sweeps
+
+    # ------------------------------------------------------------------
+    def _finish_checkpoints(self):
+        if self.checkpoint_dir and self.checkpoint_every:
+            from recommendation_models_tpu.utils.checkpoint import wait_pending
+            wait_pending()
+
+    def _maybe_checkpoint(self, sweep_idx, W, H):
+        if not self.checkpoint_dir or not self.checkpoint_every:
+            return
+        if (sweep_idx + 1) % self.checkpoint_every:
+            return
+        from recommendation_models_tpu.parallel.mesh import to_host
+        from recommendation_models_tpu.utils.checkpoint import save_checkpoint
+        # host staging first: W/H may be replicated mesh arrays on a
+        # multi-process run (to_host is a cross-process collective, as is
+        # the orbax save — every process calls both)
+        save_checkpoint(
+            self.checkpoint_dir, step=sweep_idx + 1,
+            state=dict(W=to_host(W), H=to_host(H),
+                       history=np.asarray(self.history_, np.float32)),
+            metadata={k: v for k, v in self.get_params().items()
+                      if isinstance(v, (int, float, str, bool, type(None)))},
+            wait=False,
         )
-        return jax.jit(sm)(jnp.asarray(W), jnp.asarray(H),
-                           jnp.asarray(Xp), jnp.asarray(Yp), ub, ib)
+
+    def resume(self, checkpoint_dir: Optional[str] = None):
+        """Load factors (and sweep history) from the latest checkpoint.
+        Returns the sweep number to continue from (pass ``W0=model.W_,
+        H0=model.H_`` to the next ``fit`` call)."""
+        from recommendation_models_tpu.utils.checkpoint import load_latest
+        step, state = load_latest(checkpoint_dir or self.checkpoint_dir)
+        self.W_ = np.asarray(state["W"])
+        self.H_ = np.asarray(state["H"])
+        self.history_ = list(np.asarray(state["history"]))
+        return step
 
     # ------------------------------------------------------------------
     def _check_fitted(self):

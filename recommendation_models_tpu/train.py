@@ -159,11 +159,19 @@ def main(argv: Optional[list] = None) -> int:
         X = rng.standard_normal((n_users, d)).astype(np.float32)
         Y = rng.standard_normal((n_items, d)).astype(np.float32)
         model = IMC(rank=args.rank, reg=args.reg, n_sweeps=args.n_sweeps,
-                    seed=args.seed, n_shards=args.n_shards,
+                    tol=args.tol, seed=args.seed, n_shards=args.n_shards,
                     platform=args.platform,
+                    checkpoint_dir=args.checkpoint_dir,
+                    checkpoint_every=args.checkpoint_every,
                     verbose=max(args.verbose - 1, 0))
         with trace_sweeps(args.trace_dir), Timer() as t:
-            model.fit(R, X, Y)
+            if args.resume and args.checkpoint_dir:
+                step = model.resume()
+                if args.verbose:
+                    print(f"[train] resumed from sweep {step}")
+                model.fit(R, X, Y, W0=model.W_, H0=model.H_)
+            else:
+                model.fit(R, X, Y)
 
     rows = (n_users + n_items) * len(getattr(model, "history_", [0]))
     for i, rmse in enumerate(model.history_):

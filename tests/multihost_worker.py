@@ -2,7 +2,7 @@
 
 Launched as a subprocess by test_multihost.py with:
   python multihost_worker.py <coordinator> <num_procs> <proc_id> <outdir>
-      [--crash-after-sweep N] [--resume]
+      [--crash-after-sweep N] [--resume] [--model imc]
 
 Runs jax.distributed over CPU devices (4 virtual per process -> an 8-device
 global mesh), fits sharded ALS on a deterministic tiny problem, and writes
@@ -21,6 +21,9 @@ crash_after = None
 if "--crash-after-sweep" in sys.argv:
     crash_after = int(sys.argv[sys.argv.index("--crash-after-sweep") + 1])
 resume = "--resume" in sys.argv
+model_kind = "als"
+if "--model" in sys.argv:
+    model_kind = sys.argv[sys.argv.index("--model") + 1]
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # always exactly 8 global devices: strip any inherited force flag first
@@ -44,6 +47,43 @@ from recommendation_models_tpu.parallel.sharded_als import (  # noqa: E402
     ShardedALSProgram)
 from recommendation_models_tpu.utils.checkpoint import (  # noqa: E402
     load_latest, save_checkpoint)
+
+if model_kind == "imc":
+    # IMC multihost coverage (SURVEY.md N8): sharded fit with
+    # make_array_from_callback placement + checkpoint/crash/resume, same
+    # harness shape as the ALS path below.
+    from recommendation_models_tpu.data.synthetic import (
+        synthetic_imc_ratings, synthetic_side_features)
+    from recommendation_models_tpu.models.imc import IMC
+
+    X, Y = synthetic_side_features(48, 40, d_user=10, d_item=8, seed=1)
+    iu, ii, ir, _, _ = synthetic_imc_ratings(X, Y, n_obs=1200, rank=4,
+                                             noise=0.02, seed=2)
+    rng_w = np.random.default_rng(7)
+    W0 = 0.1 * rng_w.standard_normal((10, 4)).astype(np.float32)
+    H0 = 0.1 * rng_w.standard_normal((8, 4)).astype(np.float32)
+    total_sweeps = 4
+    kw = dict(rank=4, reg=0.1, cg_iters=20, n_shards=jax.device_count())
+    ckpt_dir = os.path.join(outdir, "ckpt")
+    if resume:
+        m = IMC(**kw, n_sweeps=total_sweeps, checkpoint_dir=ckpt_dir,
+                checkpoint_every=1)
+        step = m.resume()
+        m.n_sweeps = total_sweeps - step
+        m.fit((iu, ii, ir), X, Y, W0=m.W_, H0=m.H_)
+    elif crash_after is not None:
+        m = IMC(**kw, n_sweeps=crash_after, checkpoint_dir=ckpt_dir,
+                checkpoint_every=1)
+        m.fit((iu, ii, ir), X, Y, W0=W0, H0=H0)
+        os._exit(17)      # fault injection: hard exit after the checkpoint
+    else:
+        m = IMC(**kw, n_sweeps=total_sweeps).fit((iu, ii, ir), X, Y,
+                                                 W0=W0, H0=H0)
+    if proc_id == 0:
+        np.savez(os.path.join(outdir, "result.npz"),
+                 W=m.W_, H=m.H_, obj=m.history_[-1])
+    print(f"proc {proc_id} done obj={m.history_[-1]:.6f}", flush=True)
+    sys.exit(0)
 
 # deterministic tiny problem (same on all processes)
 rng = np.random.default_rng(0)

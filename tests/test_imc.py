@@ -83,3 +83,64 @@ def test_imc_accepts_sparse_matrix(imc_problem):
     assert np.isfinite(m.history_).all()
     s, items_rec = m.recommend([0, 1], n=5)
     assert items_rec.shape == (2, 5)
+
+
+def test_imc_tol_early_stop(imc_problem):
+    X, Y, users, items, r = imc_problem
+    m = IMC(rank=4, reg=0.05, n_sweeps=30, tol=1.0, cg_iters=30).fit(
+        (users, items, r), X, Y)
+    # loose tol must stop well before 30 sweeps; history only holds run sweeps
+    assert 2 <= len(m.history_) < 30
+    deltas = np.abs(np.diff(m.history_))
+    assert deltas[-1] < 1.0
+
+
+def test_imc_checkpoint_resume(imc_problem, tmp_path):
+    X, Y, users, items, r = imc_problem
+    rng = np.random.default_rng(5)
+    W0 = 0.1 * rng.standard_normal((X.shape[1], 4))
+    H0 = 0.1 * rng.standard_normal((Y.shape[1], 4))
+    d = str(tmp_path / "ckpt")
+    full = IMC(rank=4, reg=0.1, n_sweeps=4, cg_iters=20,
+               checkpoint_dir=d, checkpoint_every=2).fit(
+        (users, items, r), X, Y, W0=W0, H0=H0)
+    fresh = IMC(rank=4, reg=0.1, cg_iters=20, checkpoint_dir=d)
+    step = fresh.resume()
+    assert step == 4
+    np.testing.assert_allclose(fresh.W_, full.W_)
+    np.testing.assert_allclose(fresh.H_, full.H_)
+    np.testing.assert_allclose(fresh.history_, full.history_, rtol=1e-6)
+    # resumed-continue path: 2 sweeps from the step-2 ckpt == 4-sweep run
+    two = IMC(rank=4, reg=0.1, cg_iters=20, checkpoint_dir=d)
+    from recommendation_models_tpu.utils.checkpoint import load_checkpoint
+    st = load_checkpoint(d, 2)
+    cont = IMC(rank=4, reg=0.1, n_sweeps=2, cg_iters=20).fit(
+        (users, items, r), X, Y, W0=st["W"], H0=st["H"])
+    np.testing.assert_allclose(cont.W_, full.W_, rtol=1e-4, atol=1e-5)
+
+
+def test_imc_layout_cache(imc_problem, tmp_path):
+    X, Y, users, items, r = imc_problem
+    prefix = str(tmp_path / "lay")
+    m1 = IMC(rank=4, n_sweeps=2, cg_iters=10, layout_cache=prefix).fit(
+        (users, items, r), X, Y)
+    import os
+    assert os.path.exists(prefix + ".imc.user.npz")
+    m2 = IMC(rank=4, n_sweeps=2, cg_iters=10, layout_cache=prefix).fit(
+        (users, items, r), X, Y)          # second fit loads from cache
+    np.testing.assert_allclose(m1.W_, m2.W_)
+
+
+def test_sharded_imc_stepwise_matches_scan(imc_problem, cpu_mesh):
+    # verbose forces the per-sweep length-1 program; must equal the
+    # whole-fit scan (and exercises checkpointing on the sharded path)
+    X, Y, users, items, r = imc_problem
+    rng = np.random.default_rng(6)
+    W0 = 0.1 * rng.standard_normal((X.shape[1], 4))
+    H0 = 0.1 * rng.standard_normal((Y.shape[1], 4))
+    kw = dict(rank=4, reg=0.1, n_sweeps=2, cg_iters=20, n_shards=8,
+              platform="cpu")
+    scan = IMC(**kw).fit((users, items, r), X, Y, W0=W0, H0=H0)
+    step = IMC(**kw, verbose=1).fit((users, items, r), X, Y, W0=W0, H0=H0)
+    np.testing.assert_allclose(step.W_, scan.W_, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(step.history_, scan.history_, rtol=1e-5)

@@ -110,3 +110,49 @@ def test_fault_injection_restart_resume(tmp_path, single_process_reference):
     ref = single_process_reference
     np.testing.assert_allclose(res["U"], ref["U"], rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def imc_single_reference(tmp_path_factory):
+    """IMC: same problem fit in ONE process on an 8-device mesh."""
+    out = tmp_path_factory.mktemp("imc_ref")
+    env = _env_cpu_only()
+    coordinator = f"localhost:{_free_port()}"
+    p = subprocess.Popen(
+        [sys.executable, _WORKER, coordinator, "1", "0", str(out),
+         "--model", "imc"],
+        env={**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        o, _ = p.communicate(timeout=240)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.communicate()
+    assert p.returncode == 0, o
+    return np.load(out / "result.npz")
+
+
+def test_imc_two_process_fit_matches_single(tmp_path, imc_single_reference):
+    """Sharded IMC with make_array_from_callback placement is process-count
+    invariant (SURVEY.md N8; round-1 gap: jnp.asarray placement was not)."""
+    _run_all(tmp_path, extra=("--model", "imc"))
+    res = np.load(tmp_path / "result.npz")
+    ref = imc_single_reference
+    np.testing.assert_allclose(res["W"], ref["W"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["H"], ref["H"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["obj"], ref["obj"], rtol=1e-3)
+
+
+def test_imc_fault_injection_restart_resume(tmp_path, imc_single_reference):
+    """Kill a 2-process IMC job after sweep 2, restart with --resume: the
+    finished run reproduces the uninterrupted result."""
+    _run_all(tmp_path, extra=("--model", "imc", "--crash-after-sweep", "2"),
+             expect_rc=(17, 17))
+    assert os.path.isdir(tmp_path / "ckpt")
+    assert not (tmp_path / "result.npz").exists()
+    _run_all(tmp_path, extra=("--model", "imc", "--resume"))
+    res = np.load(tmp_path / "result.npz")
+    ref = imc_single_reference
+    np.testing.assert_allclose(res["W"], ref["W"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["obj"], ref["obj"], rtol=1e-3)
