@@ -22,6 +22,28 @@ from recommendation_models_tpu.data.layout import Bucket, PaddedLayout
 _FORMAT_VERSION = 4
 
 
+def data_fingerprint(*arrays) -> str:
+    """Cheap content hash of observation arrays for cache tags.
+
+    Hashes shapes, dtypes, strided samples (<=64k elements per array) and a
+    global sum, so refitting the same cache prefix on DIFFERENT data gets a
+    different tag instead of silently reusing a stale layout. O(1)-ish: ~5 ms
+    at ML-25M scale.
+    """
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        h.update(np.asarray(a.shape, np.int64).tobytes())
+        h.update(str(a.dtype).encode())
+        step = max(1, a.shape[0] // 65536) if a.shape[0] else 1
+        h.update(a[::step].tobytes())
+        if a.dtype.kind in "fiu" and a.size:
+            h.update(np.float64(a.sum(dtype=np.float64)).tobytes())
+    return h.hexdigest()
+
+
 def save_layout(path: str, layout: PaddedLayout) -> str:
     """Pack a PaddedLayout into one uncompressed .npz at `path`."""
     arrays = {
@@ -99,4 +121,4 @@ def cached_layout(path: Optional[str],
     return layout
 
 
-__all__ = ["save_layout", "load_layout", "cached_layout"]
+__all__ = ["save_layout", "load_layout", "cached_layout", "data_fingerprint"]

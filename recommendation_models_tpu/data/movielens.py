@@ -59,8 +59,11 @@ def load_ratings_file(
     vocabularies ``user_vocab`` / ``item_vocab``.
     """
     cache_path = path + ".rmtpu.npz"
+    # A cache with a missing source is valid (archives are often deleted
+    # after ingest); only a NEWER source invalidates it.
     if cache and os.path.exists(cache_path) and (
-            os.path.getmtime(cache_path) >= os.path.getmtime(path)):
+            not os.path.exists(path)
+            or os.path.getmtime(cache_path) >= os.path.getmtime(path)):
         z = np.load(cache_path)
         return {k: z[k] for k in z.files} | {
             "n_users": int(z["user_vocab"].shape[0]),

@@ -167,11 +167,17 @@ class ALS(BaseEstimator):
         prefix = self.layout_cache
         # distinct cache files per layout flavor (sharded builds disable the
         # dense-whale block; hot_cols changes the bucket contents; sharing
-        # one file would silently mismatch)
+        # one file would silently mismatch) AND per data content: the
+        # fingerprint invalidates the cache when the same prefix is refit on
+        # different data (round-1 gap: silent stale reuse).
+        from recommendation_models_tpu.data.layout_cache import (
+            data_fingerprint)
         tag = ("" if dcfg.dense_whales else ".nodense") + (
             f".hot{dcfg.hot_cols}" if dcfg.hot_cols else "") + (
             f".dmd{dcfg.dense_min_degree}"
             if dcfg.dense_whales and dcfg.dense_min_degree != 512 else "")
+        if prefix:
+            tag += "." + data_fingerprint(indptr, indices, data)
         user_layout = cached_layout(
             f"{prefix}{tag}.user.npz" if prefix else None, build_user)
         item_layout = cached_layout(

@@ -129,6 +129,23 @@ def test_layout_cache_used_by_fit(tmp_path):
     np.testing.assert_allclose(m1.U_, m2.U_, rtol=1e-6)
 
 
+def test_layout_cache_invalidated_on_different_data(tmp_path):
+    """Refitting the SAME cache prefix on DIFFERENT data must not reuse the
+    stale layout (round-1 gap: the tag now includes a data fingerprint)."""
+    import glob
+    from tests.conftest import tiny_problem
+    prefix = str(tmp_path / "ml")
+    R1 = tiny_problem(25, 18, seed=6)
+    ALS(rank=3, n_sweeps=2, seed=0, layout_cache=prefix).fit(R1)
+    n_before = len(glob.glob(prefix + "*.npz"))
+    R2 = tiny_problem(25, 18, seed=7)           # same shape, different data
+    m2 = ALS(rank=3, n_sweeps=2, seed=0, layout_cache=prefix).fit(R2)
+    assert len(glob.glob(prefix + "*.npz")) == 2 * n_before  # new tag files
+    # the refit model must reflect R2, not R1's cached layout
+    ref = ALS(rank=3, n_sweeps=2, seed=0).fit(R2)
+    np.testing.assert_allclose(m2.U_, ref.U_, rtol=1e-5, atol=1e-6)
+
+
 def test_dense_min_degree_auto_policy():
     """The dense-whale threshold is rank-aware (break-even scales ~rank^2;
     measured 512 @ k=64 vs 2048 @ k=128 on v5e — config.py)."""
