@@ -233,9 +233,6 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
-    users, items, ratings = synthetic_ratings(
-        n_users, n_items, n_obs, rank=16, seed=0)
-    nnz = ratings.shape[0]
     # BENCH_HOT_COLS=<int> overrides the hot-column dense slab width
     # (fused solve kernel path); default = the kernel's VMEM cap at this
     # rank, matching ALS's auto policy.
@@ -246,10 +243,45 @@ def main() -> None:
     dcfg = DataConfig(hot_cols=int(hot) if hot is not None
                       else hot_cols_auto(rank),
                       dense_min_degree=dense_min_degree_for_rank(rank))
-    user_layout = layout_from_coo(users, items, ratings, n_users, n_items,
-                                  config=dcfg)
-    item_layout = layout_from_coo(users, items, ratings, n_users, n_items,
-                                  transpose=True, config=dcfg)
+
+    # BENCH_LAYOUT_CACHE=<dir> caches the built layouts per (scale, layout
+    # policy) — the synth100m host-side build is minutes, and perf ablations
+    # re-run the same layouts dozens of times.
+    def build_layouts():
+        users, items, ratings = synthetic_ratings(
+            n_users, n_items, n_obs, rank=16, seed=0)
+        ul = layout_from_coo(users, items, ratings, n_users, n_items,
+                             config=dcfg)
+        il = layout_from_coo(users, items, ratings, n_users, n_items,
+                             transpose=True, config=dcfg)
+        return users, items, ratings, ul, il
+
+    cache_dir = os.environ.get("BENCH_LAYOUT_CACHE")
+    if cache_dir:
+        from recommendation_models_tpu.data.layout_cache import cached_layout
+        os.makedirs(cache_dir, exist_ok=True)
+        tag = (f"{scale}.hot{dcfg.hot_cols}.dmd{dcfg.dense_min_degree}")
+        built = {}
+
+        def side(which):
+            def build():
+                if not built:
+                    built.update(zip("uirUL", build_layouts()))
+                return built["U" if which == "user" else "L"]
+            return cached_layout(
+                os.path.join(cache_dir, f"{tag}.{which}.npz"), build)
+        user_layout = side("user")
+        item_layout = side("item")
+        # COO arrays only needed for the oracle sample; reconstruct cheaply
+        # when the layouts were cache hits
+        if built:
+            users, items, ratings = built["u"], built["i"], built["r"]
+        else:
+            users, items, ratings = synthetic_ratings(
+                n_users, n_items, n_obs, rank=16, seed=0)
+    else:
+        users, items, ratings, user_layout, item_layout = build_layouts()
+    nnz = ratings.shape[0]
     t_data = time.perf_counter() - t0
     print(f"# data: {nnz} obs, layout waste user={user_layout.padding_waste():.2%} "
           f"item={item_layout.padding_waste():.2%}, {t_data:.1f}s",
@@ -259,9 +291,13 @@ def main() -> None:
     # objective (BASELINE.md config 2)
     alpha = os.environ.get("BENCH_ALPHA")
     from recommendation_models_tpu.ops.pallas.cholesky import block_batch
+    # BENCH_GATHER_MB overrides SolveConfig.gather_budget_mb (the row-block
+    # scan-pipelining lever; see docs/PERF.md "gather budget")
+    gmb = os.environ.get("BENCH_GATHER_MB")
     cfg = SolveConfig(rank=rank, reg=0.1, solver=solver,
                       alpha=float(alpha) if alpha else None,
-                      compute_dtype=compute_dtype)
+                      compute_dtype=compute_dtype,
+                      **({"gather_budget_mb": int(gmb)} if gmb else {}))
     ub = device_buckets(user_layout, block_batch(rank))
     ib = device_buckets(item_layout, block_batch(rank))
     # The whole timed region is ONE device program (lax.scan over sweeps,

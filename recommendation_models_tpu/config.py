@@ -27,11 +27,18 @@ class SolveConfig:
     chunk: int = 512
     # Row-block budget (MB) for one gathered (rows, P, k) block: big buckets
     # are scanned in row-blocks this size. Originally a 256 MB HBM-OOM cap;
-    # now primarily a scan-PIPELINING lever — 8 MB blocks let XLA overlap a
-    # block's gathers with the previous block's solve (ML-25M rank-64 epoch
-    # 0.34 -> 0.25 s vs 256 MB; re-measured rank-128 and synth100m, see
-    # docs/PERF.md 'gather budget').
-    gather_budget_mb: int = 8
+    # now primarily a scan-PIPELINING lever whose optimum is RANK-dependent
+    # (measured v5e, docs/PERF.md 'gather budget': 8 MB wins at k<=64 —
+    # ML-25M 0.34 -> 0.25 s, synth100m 1.65 -> 0.92 s — but k=128 inverts,
+    # 256 MB 0.545 s vs 8 MB 0.614 s). 0 = auto (gather_budget_for_rank).
+    gather_budget_mb: int = 0
+
+    @property
+    def gather_budget(self) -> int:
+        """The resolved row-block budget in MB (0 = rank-aware auto)."""
+        if self.gather_budget_mb:
+            return self.gather_budget_mb
+        return gather_budget_for_rank(self.rank)
     # 'auto' = pallas on TPU / xla elsewhere; 'xla' = jnp.linalg.cholesky +
     # triangular solves (correctness anchor); 'pallas' = fused Pallas kernel;
     # 'lu' = jnp.linalg.solve fallback for ill-conditioned tests.
@@ -51,8 +58,12 @@ class MeshConfig:
     n_shards: Optional[int] = None
     # 'allgather': replicate the opposite factor table per half-sweep
     #   (ALX-style dense gramian path; right choice while a table fits HBM).
-    # 'all_to_all': request/response embedding exchange across table shards
-    #   (SURVEY.md N5; for tables too large to replicate).
+    # 'all_to_all': rotation-scheduled request/response embedding exchange
+    #   across table shards (SURVEY.md N5; for tables too large to
+    #   replicate).
+    # 'hybrid': all_to_all for the tail + the Zipf-head columns replicated
+    #   via one small all_gather (keeps the hot-column fast path; see
+    #   parallel.exchange).
     exchange: str = "allgather"
     # Mesh axis name used for the table shards.
     axis: str = "data"
@@ -123,6 +134,20 @@ class DataConfig:
     bucket_merge_slack: int = 0
     # Pad each bucket's row count to a multiple of this (sublane alignment).
     row_multiple: int = 8
+
+
+def gather_budget_for_rank(rank: int) -> int:
+    """Rank-aware row-block gather budget (MB), SolveConfig auto policy.
+
+    Small blocks pipeline (XLA overlaps a block's gathers with the previous
+    block's solve) but multiply per-step scan overhead; the solve's FLOPs
+    grow k^2 while gather bytes grow k, so at high rank the solve is long
+    enough to hide gathers WITHOUT small blocks and the scan overhead
+    dominates. Measured on v5e at ML-25M shapes (docs/PERF.md 'gather
+    budget'): k=64 epoch 0.25 s @ 8 MB vs 0.34 @ 256; k=128 inverts to
+    0.545 @ 256 vs 0.614 @ 8 (24/64 MB in between are worse than either
+    end: 0.620/0.660). synth100m k=64 confirms 8 MB (0.92 vs 1.65 s)."""
+    return 8 if rank <= 64 else 256
 
 
 def dense_min_degree_for_rank(rank: int, max_bucket: int = 4096) -> int:

@@ -51,6 +51,7 @@ class ALS(BaseEstimator):
         compute_dtype: str = "auto",
         n_shards: Optional[int] = None,
         exchange: str = "allgather",
+        exchange_head: Optional[int] = None,
         platform: Optional[str] = None,
         seed: int = 0,
         init_scale: float = 0.01,
@@ -74,6 +75,7 @@ class ALS(BaseEstimator):
         self.compute_dtype = compute_dtype
         self.n_shards = n_shards
         self.exchange = exchange
+        self.exchange_head = exchange_head
         self.platform = platform
         self.seed = seed
         self.init_scale = init_scale
@@ -268,12 +270,21 @@ class ALS(BaseEstimator):
         mesh = get_mesh(self.n_shards, platform=self.platform)
         import dataclasses
         from recommendation_models_tpu.ops.pallas.cholesky import block_batch
-        if self.exchange != "allgather":
-            # the all_to_all exchange serves a COMPACT remapped table, so
+        head = 0
+        if self.exchange == "all_to_all":
+            # the rotation exchange serves a COMPACT remapped table, so
             # global-column-id blocks can't run there: whales stay on the
             # wide-bucket path. 'allgather' shards see the full opposite
             # table and keep the dense-whale + hot-column fast paths.
             dcfg = dataclasses.replace(dcfg, dense_whales=False, hot_cols=0)
+        elif self.exchange == "hybrid":
+            # hybrid replicates the Zipf-head rows, which also carries the
+            # hot-column fast path (hot_ids remap into the head block);
+            # the dense-whale block still needs the FULL opposite table
+            # (its value rows span all global columns), so it stays off.
+            dcfg = dataclasses.replace(dcfg, dense_whales=False)
+            head = (self.exchange_head if self.exchange_head is not None
+                    else max(1024, 8 * dcfg.hot_cols))
         ul, il = self._build_layouts(indptr, indices, data, n_users, n_items,
                                      dcfg)
         user_layout = shard_layout(ul, self.n_shards,
@@ -281,8 +292,15 @@ class ALS(BaseEstimator):
         item_layout = shard_layout(il, self.n_shards,
                                    row_multiple=block_batch(self.rank))
         prog = ShardedALSProgram(user_layout, item_layout, mesh, scfg,
-                                 exchange=self.exchange)
+                                 exchange=self.exchange, head=head)
         self._sharded_program = prog
+        # per-sweep ICI traffic of the chosen exchange (utils.logging
+        # 'collective bytes'; the train CLI logs it per sweep)
+        self.exchange_bytes_per_sweep_ = prog.collective_bytes_per_sweep()
+        if self.verbose:
+            mb = self.exchange_bytes_per_sweep_["per_sweep_total"] / 2**20
+            print(f"[ALS] exchange={self.exchange} collective traffic "
+                  f"{mb:.2f} MiB/shard/sweep")
 
         if U0 is not None and V0 is not None:
             U, V = prog.place_factors(U0, V0)

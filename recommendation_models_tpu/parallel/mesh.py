@@ -41,15 +41,7 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     _DIST_INITIALIZED = True
 
 
-def get_mesh(n_shards: Optional[int] = None,
-             axis: str = "data",
-             platform: Optional[str] = None) -> Mesh:
-    """A 1-D mesh over ``n_shards`` devices along ``axis``.
-
-    ``platform='cpu'`` selects the forced-host-device CPU mesh used by tests
-    (SURVEY.md §4.2-2). Device order follows ``jax.devices()`` which is
-    ICI-contiguous on TPU slices, so neighbor collectives ride ICI.
-    """
+def _resolve_devices(n_shards, platform):
     devices = jax.devices(platform) if platform else jax.devices()
     if n_shards is None:
         n_shards = len(devices)
@@ -65,7 +57,86 @@ def get_mesh(n_shards: Optional[int] = None,
     if n_shards > len(devices):
         raise ValueError(
             f"requested {n_shards} shards but only {len(devices)} devices")
-    return Mesh(np.asarray(devices[:n_shards]), (axis,))
+    return list(devices[:n_shards]), n_shards
+
+
+def _slice_groups(devices):
+    """Group devices by TPU slice (multislice pods expose ``slice_index``;
+    elsewhere fall back to process_index, the DCN boundary on CPU/GPU)."""
+    keys = []
+    for d in devices:
+        keys.append(getattr(d, "slice_index", None))
+    if any(k is None for k in keys):
+        keys = [d.process_index for d in devices]
+    order = {}
+    for d, k in zip(devices, keys):
+        order.setdefault(k, []).append(d)
+    return list(order.values())
+
+
+def get_mesh(n_shards: Optional[int] = None,
+             axis: str = "data",
+             platform: Optional[str] = None,
+             num_slices: Optional[int] = None) -> Mesh:
+    """A 1-D mesh over ``n_shards`` devices along ``axis``.
+
+    ``platform='cpu'`` selects the forced-host-device CPU mesh used by tests
+    (SURVEY.md §4.2-2). Device order follows ``jax.devices()`` which is
+    ICI-contiguous on TPU slices, so neighbor collectives ride ICI.
+
+    ``num_slices`` (or auto-detected ``slice_index`` diversity) reorders
+    devices SLICE-MAJOR: shards within a slice are contiguous, so ring
+    collectives cross the slow DCN links only at the ``num_slices`` slice
+    boundaries, and XLA's hierarchical collectives can phase intra-slice
+    ICI against inter-slice DCN (SURVEY.md §2.2 N6 'hybrid ICI x DCN').
+    """
+    devices, n_shards = _resolve_devices(n_shards, platform)
+    groups = _slice_groups(devices)
+    if num_slices is not None and num_slices > 1 and len(groups) == 1:
+        # virtual slicing for tests/dry-runs: contiguous equal blocks
+        if n_shards % num_slices:
+            raise ValueError(
+                f"n_shards={n_shards} not divisible by num_slices={num_slices}")
+        per = n_shards // num_slices
+        groups = [devices[i * per:(i + 1) * per] for i in range(num_slices)]
+    ordered = [d for g in groups for d in g]
+    return Mesh(np.asarray(ordered), (axis,))
+
+
+def get_hybrid_mesh(n_shards: Optional[int] = None,
+                    num_slices: Optional[int] = None,
+                    axes=("dcn", "data"),
+                    platform: Optional[str] = None) -> Mesh:
+    """A 2-D ``(num_slices, per_slice)`` mesh with the DCN boundary on the
+    OUTER axis (SURVEY.md §2.2 N6).
+
+    Programs that want explicit hierarchy — e.g. replicate factor tables
+    across slices and shard within, psum-ing grams over ``axes[0]`` — shard
+    over this mesh; big all-to-blocks then ride intra-slice ICI while only
+    reductions cross DCN. On real multislice pods the grouping comes from
+    ``device.slice_index`` (the same source ``mesh_utils.
+    create_hybrid_device_mesh`` uses); on CPU test meshes pass
+    ``num_slices`` for contiguous virtual slices.
+    """
+    devices, n_shards = _resolve_devices(n_shards, platform)
+    groups = _slice_groups(devices)
+    if len(groups) == 1:
+        num_slices = num_slices or 1
+        if n_shards % num_slices:
+            raise ValueError(
+                f"n_shards={n_shards} not divisible by num_slices={num_slices}")
+        per = n_shards // num_slices
+        groups = [devices[i * per:(i + 1) * per] for i in range(num_slices)]
+    else:
+        if num_slices is not None and num_slices != len(groups):
+            raise ValueError(
+                f"{len(groups)} real slices found but num_slices={num_slices}")
+        sizes = {len(g) for g in groups}
+        if len(sizes) != 1:
+            raise ValueError(f"uneven slice sizes {sorted(sizes)}")
+    flat = [d for g in groups for d in g]
+    grid = np.asarray(flat).reshape(len(groups), -1)
+    return Mesh(grid, tuple(axes))
 
 
 def to_host(x) -> np.ndarray:
@@ -81,4 +152,5 @@ def to_host(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
-__all__ = ["get_mesh", "initialize_distributed", "to_host"]
+__all__ = ["get_mesh", "get_hybrid_mesh", "initialize_distributed",
+           "to_host"]

@@ -35,14 +35,39 @@ from recommendation_models_tpu.parallel.exchange import ExchangePlan, build_exch
 
 
 def _exchange_source(V_loc, plan, axis):
-    """Per-shard view of the opposite table: gathered or exchanged."""
+    """Per-shard view of the opposite table: gathered or exchanged.
+
+    Exchange plans (parallel.exchange) run a rotation schedule: S-1
+    ``ppermute`` round-trips, each padded only to ITS rotation's max request
+    count, preceded by an optional replicated-head assembly (one small
+    ``all_gather``). Returns E = concat(head, local block, rotation blocks).
+    """
     if plan is None:
         return jax.lax.all_gather(V_loc, axis, axis=0, tiled=True)
-    req = plan["req_local"][0]                          # (S, Rmax) owner-local ids
-    recv = jax.lax.all_to_all(req, axis, split_axis=0, concat_axis=0, tiled=True)
-    resp = jnp.take(V_loc, recv, axis=0, mode="fill", fill_value=0.0)
-    E = jax.lax.all_to_all(resp, axis, split_axis=0, concat_axis=0, tiled=True)
-    return E.reshape(-1, V_loc.shape[-1])               # (S*Rmax, k)
+    S = len(plan["req_rot"])
+    parts = []
+    if "head_local" in plan:
+        # scatter-owned-rows + psum: balanced ICI cost (2(S-1)/S * H*k)
+        # even when popular ids cluster in one owner's range (MovieLens ids
+        # correlate with popularity, so per-owner padded gathers degenerate).
+        # plan["head_rows"] is a (H,) shape-carrier (see put_plan).
+        contrib = jnp.take(V_loc, plan["head_local"][0], axis=0,
+                           mode="fill", fill_value=0.0)     # (Hmax, k)
+        head0 = jnp.zeros((plan["head_rows"].shape[0], V_loc.shape[-1]),
+                          V_loc.dtype)
+        head0 = head0.at[plan["head_pos"][0]].set(contrib, mode="drop")
+        parts.append(jax.lax.psum(head0, axis))
+    # d = 0: rows this shard owns — a plain local gather, no comm
+    parts.append(jnp.take(V_loc, plan["req_rot"][0][0], axis=0,
+                          mode="fill", fill_value=0.0))
+    for d in range(1, S):
+        ids = plan["req_rot"][d][0]                         # (w_d,) owner-local
+        fwd = [(s, (s + d) % S) for s in range(S)]
+        recv = jax.lax.ppermute(ids, axis, fwd)             # owner's view
+        resp = jnp.take(V_loc, recv, axis=0, mode="fill", fill_value=0.0)
+        back = [(s, (s - d) % S) for s in range(S)]
+        parts.append(jax.lax.ppermute(resp, axis, back))
+    return jnp.concatenate(parts, axis=0)
 
 
 def _local_buckets(buckets):
@@ -90,7 +115,7 @@ def _local_sse(U_loc, V_src, buckets, cfg: SolveConfig):
     from recommendation_models_tpu.solver.als_sweep import masked_sse
 
     return masked_sse(U_loc, V_src, _local_buckets(buckets), chunk=cfg.chunk,
-                      gather_budget_mb=cfg.gather_budget_mb)
+                      gather_budget_mb=cfg.gather_budget)
 
 
 class ShardedALSProgram:
@@ -103,6 +128,7 @@ class ShardedALSProgram:
         mesh: Mesh,
         cfg: SolveConfig,
         exchange: str = "allgather",
+        head: int = 0,
     ):
         self.mesh = mesh
         # Resolve 'auto' against the MESH's platform (not the process default
@@ -127,13 +153,17 @@ class ShardedALSProgram:
         self.ipr = item_layout.rows_per_shard
         self.exchange = exchange
 
-        if exchange == "all_to_all":
-            u_plan = build_exchange_plan(user_layout, col_shard_size=self.ipr)
-            i_plan = build_exchange_plan(item_layout, col_shard_size=self.upr)
+        if exchange in ("all_to_all", "hybrid"):
+            h = head if exchange == "hybrid" else 0
+            u_plan = build_exchange_plan(user_layout, col_shard_size=self.ipr,
+                                         head=h)
+            i_plan = build_exchange_plan(item_layout, col_shard_size=self.upr,
+                                         head=h)
         elif exchange == "allgather":
             u_plan = i_plan = None
         else:
             raise ValueError(f"unknown exchange mode {exchange!r}")
+        self._uplan_host, self._iplan_host = u_plan, i_plan
 
         axis = self.axis
 
@@ -175,31 +205,48 @@ class ShardedALSProgram:
                 out.append(dict(dense_ids=shard_put(layout.dense_ids),
                                 dense_vals=shard_put(layout.dense_vals)))
             if layout.hot_ids is not None:
-                # global column ids — identical on every shard (replicated)
-                out.append(dict(hot_ids=repl_put(layout.hot_ids)))
+                # column ids — identical on every shard (replicated). Under
+                # 'hybrid' they are remapped into the served table's head
+                # block (the hot fast path works off replicated head rows).
+                ids = (plan.remapped_hot if plan is not None
+                       else layout.hot_ids)
+                out.append(dict(hot_ids=repl_put(ids)))
             return tuple(out)
+
+        def put_plan(plan: Optional[ExchangePlan]):
+            if plan is None:
+                return None
+            d = dict(req_rot=tuple(shard_put(r) for r in plan.req_rot))
+            if plan.head_size:
+                d["head_local"] = shard_put(plan.head_local)
+                d["head_pos"] = shard_put(plan.head_pos)
+                # (H,) int8 zeros: carries the STATIC head-table row count
+                # into the traced exchange (jit args hold no plain ints)
+                d["head_rows"] = repl_put(
+                    np.zeros((plan.head_size,), np.int8))
+            return d
 
         self._ub = put_buckets(user_layout, u_plan)
         self._ib = put_buckets(item_layout, i_plan)
-        self._uplan = (None if u_plan is None
-                       else dict(req_local=shard_put(u_plan.req_local)))
-        self._iplan = (None if i_plan is None
-                       else dict(req_local=shard_put(i_plan.req_local)))
+        self._uplan = put_plan(u_plan)
+        self._iplan = put_plan(i_plan)
 
         upr, ipr = self.upr, self.ipr
 
         def spec_like(x):
             return P(axis, *([None] * (x.ndim - 1)))
 
-        def specs_of(tree):
+        REPLICATED_KEYS = {"hot_ids", "head_rows"}
+
+        def specs_of(tree, repl=False):
             if isinstance(tree, dict):
-                # hot_ids is replicated; everything else is row-sharded
-                return {key: (P(*([None] * v.ndim)) if key == "hot_ids"
-                              else spec_like(v))
+                return {key: specs_of(v, repl or key in REPLICATED_KEYS)
                         for key, v in tree.items()}
-            if isinstance(tree, tuple):
-                return tuple(specs_of(t) for t in tree)
-            return None if tree is None else jax.tree.map(spec_like, tree)
+            if isinstance(tree, (tuple, list)):
+                return tuple(specs_of(t, repl) for t in tree)
+            if tree is None:
+                return None
+            return P(*([None] * tree.ndim)) if repl else spec_like(tree)
 
         table_spec = P(axis, None)
 
@@ -268,6 +315,28 @@ class ShardedALSProgram:
 
     def train_sse(self, U, V):
         return self._sse(U, V, self._ub, self._uplan)
+
+    def collective_bytes_per_sweep(self):
+        """Analytic per-shard ICI bytes RECEIVED per sweep for the active
+        exchange mode (utils.logging 'collective bytes'; also the input of
+        the multi-host scaling model — docs/PERF.md). Exact for the
+        exchange/all_gather payloads; the implicit objective's psum'd (k, k)
+        gramian uses the ring all-reduce identity 2(S-1)/S * bytes."""
+        k = self.cfg.rank
+        S = self.n_shards
+        out = {}
+        for name, plan, css in (("user_half", self._uplan_host, self.ipr),
+                                ("item_half", self._iplan_host, self.upr)):
+            if plan is None:
+                out[name] = (S - 1) * css * k * 4       # tiled all_gather
+            else:
+                out[name] = plan.recv_bytes_per_half_sweep(k)
+        if self.cfg.alpha is not None:
+            out["psum_gram"] = int(2 * 2 * (S - 1) * k * k * 4 / S)
+        out["per_sweep_total"] = sum(out.values())
+        # train_sse re-runs the user-half exchange when called
+        out["sse_extra"] = out["user_half"]
+        return out
 
 
 __all__ = ["ShardedALSProgram"]

@@ -221,7 +221,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         # big bucket's (k, k, bb) normal equations exist one block at a
         # time — the full (B, k^2) G is never materialized. bb is a
         # multiple of the solve kernel's batch block.
-        bb = max(block, (cfg.gather_budget_mb * (1 << 20))
+        bb = max(block, (cfg.gather_budget * (1 << 20))
                  // (p * k * dtype.itemsize) // block * block)
 
         def solve_block(idx_b, wg_b, wr_b, reg_b, hv_b=None):
@@ -339,15 +339,20 @@ def masked_sse(
     V: jnp.ndarray,
     buckets: DeviceBuckets,
     chunk: int = 512,
-    gather_budget_mb: int = SolveConfig.gather_budget_mb,
+    gather_budget_mb: int = 0,
 ) -> jnp.ndarray:
     """Sum of squared residuals over observed entries: Σ mask (r - u·v)^2.
 
     Used for train-RMSE / the tol-based sweep stopping rule (reference §3.1
     'compute train RMSE; break if Δ < tol'). Big buckets are processed in
     row-blocks (then degree chunks) so the gathered temp stays bounded.
+    ``gather_budget_mb=0`` resolves to the rank-aware auto policy
+    (config.gather_budget_for_rank), same as the solve path.
     """
     k = V.shape[-1]
+    if not gather_budget_mb:
+        from recommendation_models_tpu.config import gather_budget_for_rank
+        gather_budget_mb = gather_budget_for_rank(k)
     buckets, dense, hot_ids = _split_special(buckets)
     hot_V = None if hot_ids is None else jnp.take(V, hot_ids, axis=0)
     total = jnp.zeros((), jnp.float32)
@@ -460,7 +465,7 @@ def make_sweep_fns(
     @jax.jit
     def _train_sse(U, V, ub):
         return masked_sse(U, V, ub, chunk=cfg.chunk,
-                          gather_budget_mb=cfg.gather_budget_mb)
+                          gather_budget_mb=cfg.gather_budget)
 
     def sweep(U, V):
         return _sweep(U, V, user_buckets, item_buckets)
@@ -505,7 +510,7 @@ def make_scanned_fit(
         else:
             V = half_sweep(U, ib, n_items, cfg)
             sse = masked_sse(U, V, ub, chunk=cfg.chunk,
-                             gather_budget_mb=cfg.gather_budget_mb)
+                             gather_budget_mb=cfg.gather_budget)
         return U, V, sse
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

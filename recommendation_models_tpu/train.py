@@ -66,7 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "gramian path; default auto (rank-aware "
                              "break-even, config.dense_min_degree_for_rank)")
     engine.add_argument("--exchange", default="allgather",
-                        choices=["allgather", "all_to_all"])
+                        choices=["allgather", "all_to_all", "hybrid"])
+    engine.add_argument("--exchange-head", type=int, default=None,
+                        help="hybrid exchange: replicate this many Zipf-head "
+                             "columns (default auto)")
     engine.add_argument("--platform", default=None,
                         help="force a device platform (e.g. cpu)")
     dist = p.add_argument_group("distributed")
@@ -139,6 +142,7 @@ def main(argv: Optional[list] = None) -> int:
                     n_sweeps=args.n_sweeps, tol=args.tol, seed=args.seed,
                     solver=args.solver, compute_dtype=args.compute_dtype,
                     n_shards=args.n_shards, exchange=args.exchange,
+                    exchange_head=args.exchange_head,
                     platform=args.platform, hot_cols=args.hot_cols,
                     dense_min_degree=args.dense_min_degree,
                     checkpoint_dir=args.checkpoint_dir,
@@ -174,13 +178,21 @@ def main(argv: Optional[list] = None) -> int:
                 model.fit(R, X, Y)
 
     rows = (n_users + n_items) * len(getattr(model, "history_", [0]))
+    # per-sweep collective traffic of the sharded exchange (static per fit;
+    # utils.logging 'collective bytes')
+    xbytes = getattr(model, "exchange_bytes_per_sweep_", None)
     for i, rmse in enumerate(model.history_):
-        metrics.log(i + 1, train_rmse=float(rmse))
+        rec = dict(train_rmse=float(rmse))
+        if xbytes is not None:
+            rec["collective_bytes"] = int(xbytes["per_sweep_total"])
+        metrics.log(i + 1, **rec)
     summary = dict(
         train_rmse=float(model.history_[-1]),
         fit_seconds=round(t.elapsed, 3),
         rows_per_sec=round(t.rows_per_sec(rows), 1),
     )
+    if xbytes is not None:
+        summary["collective_bytes_per_sweep"] = int(xbytes["per_sweep_total"])
     if test is not None and hasattr(model, "rmse"):
         summary["test_rmse"] = float(model.rmse(test))
     if test is not None and hasattr(model, "recommend") and args.model == "als":

@@ -38,7 +38,7 @@ def _blocks(b, cfg, rank):
     bsz, p = b["indices"].shape
     chunk = min(p, max(cfg.chunk, (32_768 // max(bsz, 1)) // 8 * 8))
     block = block_batch(rank)
-    bb = max(block, (cfg.gather_budget_mb * (1 << 20))
+    bb = max(block, (cfg.gather_budget * (1 << 20))
              // (p * rank * 2) // block * block)
     return bsz, p, chunk, bb
 

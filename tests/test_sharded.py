@@ -17,7 +17,7 @@ def _init(n_users, n_items, rank, seed=0):
             0.1 * rng.standard_normal((n_items, rank)).astype(np.float32))
 
 
-@pytest.mark.parametrize("exchange", ["allgather", "all_to_all"])
+@pytest.mark.parametrize("exchange", ["allgather", "all_to_all", "hybrid"])
 @pytest.mark.parametrize("alpha", [None, 0.5])
 def test_shard_count_invariance(exchange, alpha, cpu_mesh):
     R = tiny_problem(50, 40, density=0.25, seed=30)
@@ -75,3 +75,52 @@ def test_sharded_allgather_dense_hot_parity(alpha, cpu_mesh):
     np.testing.assert_allclose(shd.V_, ref.V_, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(shd.history_, ref.history_,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_hybrid_keeps_hot_column_path(cpu_mesh):
+    """'hybrid' replicates the Zipf head, so the hot-column fast path stays
+    enabled in the sharded program (hot_ids remap into the head block):
+    parity with the unsharded fit that uses the same hot block."""
+    R = tiny_problem(96, 40, density=0.5, seed=34)
+    U0, V0 = _init(96, 40, rank=8, seed=9)
+    # dense_min_degree above any row degree: no dense block (the sharded
+    # hybrid build disables dense anyway; the ref must match)
+    kw = dict(rank=8, reg=0.3, n_sweeps=3, hot_cols=8,
+              dense_min_degree=10_000, max_bucket=32)
+
+    ref = ALS(**kw).fit(R, U0=U0, V0=V0)
+    shd = ALS(**kw, n_shards=8, exchange="hybrid", exchange_head=12,
+              platform="cpu").fit(R, U0=U0, V0=V0)
+    # the sharded layout really carried the hot block (head >= hot set)
+    up = shd._sharded_program._uplan_host
+    assert up.remapped_hot is not None and up.remapped_hot.shape[0] == 8
+    assert up.head_size >= 12
+    np.testing.assert_allclose(shd.U_, ref.U_, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(shd.V_, ref.V_, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(shd.history_, ref.history_,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_collective_bytes_accounting(cpu_mesh):
+    """Every sharded fit exposes its per-sweep ICI traffic. The allgather
+    number matches the (S-1) * css * k * 4 identity per half, and on a
+    SPARSE problem (unique requests << table size — the regime the compact
+    exchanges exist for) all_to_all and hybrid move fewer bytes."""
+    R = tiny_problem(128, 384, density=0.02, seed=35)
+    U0, V0 = _init(128, 384, rank=4, seed=10)
+    out = {}
+    for ex in ("allgather", "all_to_all", "hybrid"):
+        m = ALS(rank=4, reg=0.2, n_sweeps=1, n_shards=8, exchange=ex,
+                exchange_head=8, platform="cpu").fit(R, U0=U0, V0=V0)
+        b = m.exchange_bytes_per_sweep_
+        assert b["per_sweep_total"] > 0 and "user_half" in b
+        out[ex] = b["per_sweep_total"]
+    prog = m._sharded_program
+    # user half receives the ITEM table (css = ipr) and vice versa
+    assert out["allgather"] == 7 * (prog.ipr + prog.upr) * 4 * 4
+    # tail-only padding efficiency is a real fraction
+    eff = prog._uplan_host.padding_efficiency()
+    assert 0.0 <= eff <= 1.0
+    # requests << table rows here: compact exchange beats replication
+    assert out["all_to_all"] < out["allgather"]
+    assert out["hybrid"] < out["allgather"]
