@@ -88,6 +88,38 @@ class ALS(BaseEstimator):
         self.layout_cache = layout_cache
         self.verbose = verbose
 
+    # Fitted factor state. Sharded fits keep the tables DEVICE-RESIDENT on
+    # the mesh (SURVEY.md §3.5/N9: serving routes through sharded_topk with
+    # zero full-table host fetches); `U_`/`V_` materialize to host lazily on
+    # first access. NOTE for multi-process meshes: `to_host` is a collective
+    # — every process must touch `U_`/`V_` symmetrically.
+    _U_host = _V_host = None
+    _U_dev = _V_dev = None
+
+    @property
+    def U_(self) -> np.ndarray:
+        if self._U_host is None and self._U_dev is not None:
+            from recommendation_models_tpu.parallel.mesh import to_host
+            self._U_host = to_host(self._U_dev)[: self.n_users_]
+        return self._U_host
+
+    @U_.setter
+    def U_(self, value):
+        self._U_host = value
+        self._U_dev = None
+
+    @property
+    def V_(self) -> np.ndarray:
+        if self._V_host is None and self._V_dev is not None:
+            from recommendation_models_tpu.parallel.mesh import to_host
+            self._V_host = to_host(self._V_dev)[: self.n_items_]
+        return self._V_host
+
+    @V_.setter
+    def V_(self, value):
+        self._V_host = value
+        self._V_dev = None
+
     # ------------------------------------------------------------------
     @classmethod
     def from_configs(cls, solve=None, mesh=None, data=None, fit=None):
@@ -321,9 +353,11 @@ class ALS(BaseEstimator):
             prev = cur
 
         self._finish_checkpoints()
-        from recommendation_models_tpu.parallel.mesh import to_host
-        self.U_ = to_host(U)[:n_users]
-        self.V_ = to_host(V)[:n_items]
+        # keep the padded tables on the mesh: recommend() serves through
+        # sharded_topk without ever fetching a full table to host; U_/V_
+        # materialize lazily for the estimator surface
+        self._U_dev, self._V_dev = U, V
+        self._U_host = self._V_host = None
         return self
 
     def _finish_checkpoints(self):
@@ -366,10 +400,15 @@ class ALS(BaseEstimator):
         rebuilt on the next fit, so they're dropped."""
         state = dict(self.__dict__)
         state.pop("_sharded_program", None)
+        if state.get("_U_dev") is not None:
+            # materialize device-resident factors before dropping handles
+            state["_U_host"], state["_V_host"] = self.U_, self.V_
+        state.pop("_U_dev", None)
+        state.pop("_V_dev", None)
         return state
 
     def _check_fitted(self):
-        if not hasattr(self, "U_"):
+        if self._U_host is None and self._U_dev is None:
             raise RuntimeError("this ALS instance is not fitted yet")
 
     def predict(self, users, items=None) -> np.ndarray:
@@ -413,12 +452,10 @@ class ALS(BaseEstimator):
         """
         self._check_fitted()
         user_ids = np.atleast_1d(np.asarray(user_ids, np.int64))
-        n = min(n, self.V_.shape[0])  # never ask top_k for more than exists
-        V_dev = jnp.asarray(self.V_)
+        n = min(n, self.n_items_)    # never ask top_k for more than exists
+        query_rows, topk = self._topk_backend(method, recall_target)
         if not (exclude_seen and hasattr(self, "_train_indptr")):
-            scores, items = topk_scores(
-                jnp.asarray(self.U_[user_ids]), V_dev, n, None,
-                method=method, recall_target=recall_target)
+            scores, items = topk(query_rows(user_ids), n, None)
             return np.asarray(scores), np.asarray(items)
 
         # Exclusion overfetch is k + the batch's max degree, so one whale
@@ -461,13 +498,51 @@ class ALS(BaseEstimator):
             # score blocks stay bounded
             for q in range(0, grp.shape[0], 16_384):
                 sl = slice(q, q + 16_384)
-                sc, it = topk_scores(
-                    jnp.asarray(self.U_[user_ids[grp[sl]]]), V_dev, n,
-                    jnp.asarray(excl[sl]),
-                    method=method, recall_target=recall_target)
+                sc, it = topk(query_rows(user_ids[grp[sl]]), n,
+                              jnp.asarray(excl[sl]))
                 out_s[grp[sl]] = np.asarray(sc)
                 out_i[grp[sl]] = np.asarray(it)
         return out_s, out_i
+
+    def _topk_backend(self, method: str, recall_target: float):
+        """(query_rows, topk) callables for recommend().
+
+        After a sharded fit whose tables are still device-resident, serving
+        stays ON THE MESH (SURVEY.md §3.5, N9): query rows come from a jitted
+        cross-shard gather of the sharded U (a (B, k) result — never a full
+        table), and scoring runs through ops.topk.sharded_topk against the
+        row-sharded V. Otherwise: host U_ rows + single-device topk_scores.
+        """
+        import jax
+        prog = getattr(self, "_sharded_program", None)
+        if self._V_dev is not None and prog is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from recommendation_models_tpu.ops.topk import sharded_topk
+            U_dev, V_dev = self._U_dev, self._V_dev
+            mesh, axis, n_items = prog.mesh, prog.axis, self.n_items_
+            take = jax.jit(
+                lambda U, ids: jnp.take(U, ids, axis=0),
+                out_shardings=NamedSharding(mesh, P()))
+
+            def query_rows(ids):
+                return take(U_dev, jnp.asarray(ids))
+
+            def topk(Uq, k, excl):
+                return sharded_topk(Uq, V_dev, k, mesh, axis=axis,
+                                    exclude=excl, method=method,
+                                    recall_target=recall_target,
+                                    n_valid=n_items)
+            return query_rows, topk
+
+        V_local = jnp.asarray(self.V_)
+
+        def query_rows(ids):
+            return jnp.asarray(self.U_[ids])
+
+        def topk(Uq, k, excl):
+            return topk_scores(Uq, V_local, k, excl, method=method,
+                               recall_target=recall_target)
+        return query_rows, topk
 
     def top_n(self, user: int, n: int = 10, exclude_seen: bool = True):
         """Single-user convenience: ranked item ids."""

@@ -148,17 +148,21 @@ def sharded_topk(
     exclude: Optional[jnp.ndarray] = None,
     method: str = "auto",
     recall_target: float = 0.99,
+    n_valid: Optional[int] = None,
 ):
     """Top-k with V row-sharded over `axis`; queries replicated.
 
     Per-shard top-k keeps the cross-shard traffic at O(B * k * n_shards)
-    instead of O(B * n_items).
+    instead of O(B * n_items). ``n_valid`` marks the true item count when V
+    arrives already padded to shard multiples (e.g. a sharded fit's
+    device-resident table): rows >= n_valid are masked out of candidacy
+    (they are zero vectors, which would otherwise outrank negative scores).
     """
     n_shards = mesh.shape[axis]
-    n_items = V.shape[0]
-    per = -(-n_items // n_shards)
-    if per * n_shards != n_items:
-        V = jnp.pad(V, ((0, per * n_shards - n_items), (0, 0)))
+    n_items = n_valid if n_valid is not None else V.shape[0]
+    per = -(-V.shape[0] // n_shards)
+    if per * n_shards != V.shape[0]:
+        V = jnp.pad(V, ((0, per * n_shards - V.shape[0]), (0, 0)))
     fetch = k if exclude is None else min(k + exclude.shape[1], n_items)
     fetch = min(fetch, per)
     method = _resolve_method(method, per, fetch)
