@@ -5,9 +5,13 @@ axis (``NamedSharding(mesh, P('data', None))``); each shard solves the rows
 it owns. The opposite table is sourced per half-sweep either by
 
   * ``'allgather'`` — ``jax.lax.all_gather`` the table shards (the ALX-style
-    dense path; right while a table fits per-chip HBM), or
-  * ``'all_to_all'`` — the precomputed request/response embedding exchange
-    (parallel.exchange), two ``lax.all_to_all``s and a compact local table.
+    dense path; byte-optimal on MovieLens-shaped data, see BASELINE.md
+    'Exchange-mode comparison'),
+  * ``'all_to_all'`` — the precomputed rotation-scheduled request/response
+    exchange (parallel.exchange): per-rotation padded ``ppermute``
+    round-trips and a compact local table, or
+  * ``'hybrid'`` — all_to_all for the tail + the Zipf-head columns
+    replicated by scatter+psum (carries the hot-column kernel fast path).
 
 The implicit objective's global gramian V^T V is a ``psum`` of per-shard
 gramians (SURVEY.md N7). Everything — both half-sweeps, the exchange, the
