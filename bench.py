@@ -240,9 +240,13 @@ def main() -> None:
         DataConfig, dense_min_degree_for_rank)
     from recommendation_models_tpu.ops.pallas.cholesky import hot_cols_auto
     hot = os.environ.get("BENCH_HOT_COLS")
+    # BENCH_DMD overrides the rank-aware dense-whale threshold (a huge value
+    # disables the dense block entirely)
+    dmd = os.environ.get("BENCH_DMD")
     dcfg = DataConfig(hot_cols=int(hot) if hot is not None
                       else hot_cols_auto(rank),
-                      dense_min_degree=dense_min_degree_for_rank(rank))
+                      dense_min_degree=(int(dmd) if dmd is not None
+                                        else dense_min_degree_for_rank(rank)))
 
     # BENCH_LAYOUT_CACHE=<dir> caches the built layouts per (scale, layout
     # policy) — the synth100m host-side build is minutes, and perf ablations

@@ -348,15 +348,15 @@ def _factor_body_pair(a_ref):
         row1 = a_ref[pl.ds(j, 1), :, :]                         # (1, k, bt)
         c1 = jnp.where(rows > j, col1 * inv1, 0.0)
         ct1 = jnp.where(cols > j, row1 * inv1, 0.0)
-        # column/row j+1, corrected by (c1, ct1) in registers
-        ct1_at = jnp.sum(jnp.where(cols == j + 1, ct1, 0.0), axis=1,
-                         keepdims=True)                         # (1, 1, bt)
-        c1_at = jnp.sum(jnp.where(rows == j + 1, c1, 0.0), axis=0,
-                        keepdims=True)                          # (1, 1, bt)
-        col2 = a_ref[:, pl.ds(j + 1, 1), :] - c1 * ct1_at
-        row2 = a_ref[pl.ds(j + 1, 1), :, :] - c1_at * ct1
-        d2 = jnp.sum(jnp.where(cols == j + 1, row2, 0.0), axis=1,
-                     keepdims=True)
+        # column/row j+1, corrected by (c1, ct1). The cross term L[j+1, j]
+        # is a single element — read it via a dynamic REF slice (same trick
+        # as the diagonal d1) instead of full-width masked reduces; by
+        # residual symmetry the row and column cross terms are equal.
+        a12 = a_ref[pl.ds(j, 1), pl.ds(j + 1, 1), :]            # (1, 1, bt)
+        l12 = a12 * inv1                                        # = c1[j+1]
+        col2 = a_ref[:, pl.ds(j + 1, 1), :] - c1 * l12
+        row2 = a_ref[pl.ds(j + 1, 1), :, :] - l12 * ct1
+        d2 = (a_ref[pl.ds(j + 1, 1), pl.ds(j + 1, 1), :] - l12 * l12)
         inv2 = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
         c2 = jnp.where(rows > j + 1, col2 * inv2, 0.0)
         ct2 = jnp.where(cols > j + 1, row2 * inv2, 0.0)

@@ -66,19 +66,28 @@ def main():
 
     from recommendation_models_tpu.data.layout_cache import (
         load_layout, save_layout)
+    from recommendation_models_tpu.config import (
+        DataConfig, dense_min_degree_for_rank)
+    from recommendation_models_tpu.ops.pallas.cholesky import hot_cols_auto
 
-    cache = os.environ.get("ABL_CACHE_DIR", "/tmp/rmtpu_abl_cache")
+    # rank-aware layout policy, cache files shared with bench.py's
+    # BENCH_LAYOUT_CACHE naming (ABL_HOT / ABL_DMD override)
+    hot = int(os.environ.get("ABL_HOT", hot_cols_auto(rank)))
+    dmd = int(os.environ.get("ABL_DMD", dense_min_degree_for_rank(rank)))
+    dcfg = DataConfig(hot_cols=hot, dense_min_degree=dmd)
+    cache = os.environ.get("ABL_CACHE_DIR", "/tmp/rmtpu_bench_cache")
     os.makedirs(cache, exist_ok=True)
-    up = os.path.join(cache, f"{scale}_user.npz")
-    ip = os.path.join(cache, f"{scale}_item.npz")
+    up = os.path.join(cache, f"{scale}.hot{hot}.dmd{dmd}.user.npz")
+    ip = os.path.join(cache, f"{scale}.hot{hot}.dmd{dmd}.item.npz")
     if os.path.exists(up) and os.path.exists(ip):
         ul, il = load_layout(up), load_layout(ip)
     else:
         users, items, ratings = synthetic_ratings(
             n_users, n_items, n_obs, rank=16, seed=0)
-        ul = layout_from_coo(users, items, ratings, n_users, n_items)
+        ul = layout_from_coo(users, items, ratings, n_users, n_items,
+                             config=dcfg)
         il = layout_from_coo(users, items, ratings, n_users, n_items,
-                             transpose=True)
+                             transpose=True, config=dcfg)
         save_layout(up, ul)
         save_layout(ip, il)
     cfg = SolveConfig(rank=rank, reg=0.1, solver="auto",
