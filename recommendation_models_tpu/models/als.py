@@ -50,6 +50,7 @@ class ALS(BaseEstimator):
         chunk: int = 512,
         compute_dtype: str = "auto",
         n_shards: Optional[int] = None,
+        num_slices: Optional[int] = None,
         exchange: str = "allgather",
         exchange_head: Optional[int] = None,
         platform: Optional[str] = None,
@@ -74,6 +75,7 @@ class ALS(BaseEstimator):
         self.chunk = chunk
         self.compute_dtype = compute_dtype
         self.n_shards = n_shards
+        self.num_slices = num_slices
         self.exchange = exchange
         self.exchange_head = exchange_head
         self.platform = platform
@@ -299,7 +301,8 @@ class ALS(BaseEstimator):
 
         n_users, n_items = self.n_users_, self.n_items_
         nnz = indices.shape[0]
-        mesh = get_mesh(self.n_shards, platform=self.platform)
+        mesh = get_mesh(self.n_shards, platform=self.platform,
+                        num_slices=self.num_slices)
         import dataclasses
         from recommendation_models_tpu.ops.pallas.cholesky import block_batch
         head = 0

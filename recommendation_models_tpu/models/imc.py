@@ -157,6 +157,7 @@ class IMC(BaseEstimator):
         seed: int = 0,
         init_scale: float = 0.1,
         n_shards: Optional[int] = None,
+        num_slices: Optional[int] = None,
         platform: Optional[str] = None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 0,
@@ -171,6 +172,7 @@ class IMC(BaseEstimator):
         self.seed = seed
         self.init_scale = init_scale
         self.n_shards = n_shards
+        self.num_slices = num_slices
         self.platform = platform
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
@@ -207,6 +209,10 @@ class IMC(BaseEstimator):
         if self.rank < 1:
             raise ValueError(f"rank must be >= 1, got {self.rank}")
         users, items, ratings = _as_triplets(R)
+        # seen items per user, for recommend(exclude_seen=True)
+        from recommendation_models_tpu.evaluate import grouped_by_user
+        self._train_indptr, self._train_items = grouped_by_user(
+            users, items, int(np.asarray(X).shape[0]))
         X = jnp.asarray(X, jnp.float32)
         Y = jnp.asarray(Y, jnp.float32)
         n_users, n_items = X.shape[0], Y.shape[0]
@@ -293,7 +299,8 @@ class IMC(BaseEstimator):
 
         reg_ = float(self.reg)
         cg_ = int(self.cg_iters)
-        mesh = get_mesh(self.n_shards, platform=self.platform)
+        mesh = get_mesh(self.n_shards, platform=self.platform,
+                        num_slices=self.num_slices)
         axis = mesh.axis_names[0]
         S = self.n_shards
         ul = shard_layout(user_layout, S)
@@ -440,15 +447,49 @@ class IMC(BaseEstimator):
         """Negative RMSE over observed entries (higher is better)."""
         return -self.rmse(R, X, Y)
 
-    def recommend(self, user_ids, n: int = 10, X=None, Y=None):
-        """Top-n items by bilinear score (cold-start capable via X/Y)."""
+    def recommend(self, user_ids, n: int = 10, X=None, Y=None,
+                  exclude_seen: bool = False, method: str = "auto",
+                  recall_target: float = 0.99):
+        """Top-n items by bilinear score (cold-start capable via X/Y).
+
+        Scoring runs through the TPU top-k retrieval path (ops.topk) on the
+        PROJECTED factors U_eff = X W, V_eff = Y H — the bilinear model is
+        a rank-k dot product after projection, so IMC serving shares ALS's
+        fused approx_max_k machinery (SURVEY.md N9) instead of the
+        reference's full argsort. ``exclude_seen`` drops the training
+        items of in-training users (overfetch-and-filter, never a scatter
+        into materialized scores); cold-start rows (fresh X) have nothing
+        to exclude.
+        """
         self._check_fitted()
+        from recommendation_models_tpu.ops.topk import topk_scores
         X = self._X if X is None else np.asarray(X, np.float32)
         Y = self._Y if Y is None else np.asarray(Y, np.float32)
         user_ids = np.atleast_1d(np.asarray(user_ids, np.int64))
-        s = (X[user_ids] @ self.W_) @ (Y @ self.H_).T
-        items = np.argsort(-s, axis=1)[:, :n]
-        return np.take_along_axis(s, items, axis=1), items
+        Ueff = X[user_ids] @ self.W_
+        Veff = jnp.asarray(Y @ self.H_)
+        n = min(n, Veff.shape[0])
+        excl = None
+        if exclude_seen and hasattr(self, "_train_indptr"):
+            indptr, t_items = self._train_indptr, self._train_items
+            # fresh-X queries index a DIFFERENT user space: only exclude
+            # when the ids address the training matrix
+            if X is self._X and user_ids.size:
+                degs = indptr[user_ids + 1] - indptr[user_ids]
+                width = max(1, int(degs.max()))
+                cols = np.arange(width, dtype=np.int64)[None, :]
+                valid = cols < degs[:, None]
+                pos = np.where(valid, indptr[user_ids][:, None] + cols, 0)
+                excl = jnp.asarray(
+                    np.where(valid, t_items[pos], -1).astype(np.int32))
+        sc, it = topk_scores(jnp.asarray(Ueff), Veff, n, excl,
+                             method=method, recall_target=recall_target)
+        return np.asarray(sc), np.asarray(it)
+
+    def top_n(self, user: int, n: int = 10, exclude_seen: bool = False):
+        """Single-user convenience: ranked item ids."""
+        _, items = self.recommend([user], n, exclude_seen=exclude_seen)
+        return items[0]
 
 
 __all__ = ["IMC"]

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     engine.add_argument("--compute-dtype", default="auto",
                         choices=["auto", "float32", "bfloat16"])
     engine.add_argument("--n-shards", type=int, default=None)
+    engine.add_argument("--num-slices", type=int, default=None,
+                        help="multislice pods: slice-major device ordering "
+                             "so ring collectives cross DCN only at slice "
+                             "boundaries (parallel.mesh)")
     engine.add_argument("--hot-cols", type=int, default=None,
                         help="hot-column block width; default auto "
                              "(kernel VMEM cap at this rank), 0 disables")
@@ -141,7 +145,8 @@ def main(argv: Optional[list] = None) -> int:
         model = ALS(rank=args.rank, reg=args.reg, alpha=args.alpha,
                     n_sweeps=args.n_sweeps, tol=args.tol, seed=args.seed,
                     solver=args.solver, compute_dtype=args.compute_dtype,
-                    n_shards=args.n_shards, exchange=args.exchange,
+                    n_shards=args.n_shards, num_slices=args.num_slices,
+                    exchange=args.exchange,
                     exchange_head=args.exchange_head,
                     platform=args.platform, hot_cols=args.hot_cols,
                     dense_min_degree=args.dense_min_degree,
@@ -164,6 +169,7 @@ def main(argv: Optional[list] = None) -> int:
         Y = rng.standard_normal((n_items, d)).astype(np.float32)
         model = IMC(rank=args.rank, reg=args.reg, n_sweeps=args.n_sweeps,
                     tol=args.tol, seed=args.seed, n_shards=args.n_shards,
+                    num_slices=args.num_slices,
                     platform=args.platform,
                     checkpoint_dir=args.checkpoint_dir,
                     checkpoint_every=args.checkpoint_every,

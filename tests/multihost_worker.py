@@ -24,6 +24,9 @@ resume = "--resume" in sys.argv
 model_kind = "als"
 if "--model" in sys.argv:
     model_kind = sys.argv[sys.argv.index("--model") + 1]
+exchange = "allgather"
+if "--exchange" in sys.argv:
+    exchange = sys.argv[sys.argv.index("--exchange") + 1]
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 # always exactly 8 global devices: strip any inherited force flag first
@@ -96,12 +99,17 @@ rows = np.repeat(np.arange(n_users), np.diff(indptr))
 n_shards = jax.device_count()
 mesh = get_mesh(n_shards)
 cfg = SolveConfig(rank=rank, reg=0.2, solver="xla")
+# compact exchanges need layouts without dense/hot blocks
+from recommendation_models_tpu.config import DataConfig  # noqa: E402
+dcfg = (DataConfig(dense_whales=False, hot_cols=0)
+        if exchange != "allgather" else None)
 prog = ShardedALSProgram(
-    shard_layout(build_layout(indptr, indices, data, n_users, n_items),
-                 n_shards),
+    shard_layout(build_layout(indptr, indices, data, n_users, n_items,
+                              config=dcfg), n_shards),
     shard_layout(layout_from_coo(rows, indices, data, n_users, n_items,
-                                 transpose=True), n_shards),
-    mesh, cfg)
+                                 transpose=True, config=dcfg), n_shards),
+    mesh, cfg, exchange=exchange,
+    head=8 if exchange == "hybrid" else 0)
 
 ckpt_dir = os.path.join(outdir, "ckpt")
 start_sweep = 0

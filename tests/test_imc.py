@@ -144,3 +144,34 @@ def test_sharded_imc_stepwise_matches_scan(imc_problem, cpu_mesh):
     step = IMC(**kw, verbose=1).fit((users, items, r), X, Y, W0=W0, H0=H0)
     np.testing.assert_allclose(step.W_, scan.W_, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(step.history_, scan.history_, rtol=1e-5)
+
+
+def test_imc_recommend_topk_path(imc_problem):
+    """recommend() serves through the shared top-k retrieval path on the
+    PROJECTED factors; exclusion and cold-start queries behave."""
+    X, Y, users, items, r = imc_problem
+    m = IMC(rank=4, reg=0.1, n_sweeps=3, cg_iters=20, seed=0).fit(
+        (users, items, r), X, Y)
+    uq = np.unique(users)[:8]
+    sc, it = m.recommend(uq, n=5, method="exact")
+    # exact-mode parity with the dense bilinear argsort reference
+    s_ref = (X[uq] @ m.W_) @ (Y @ m.H_).T
+    np.testing.assert_allclose(sc[:, 0], s_ref.max(1), rtol=1e-5)
+    assert it.shape == (uq.shape[0], 5)
+
+    # exclusion removes training items for in-training users
+    _, it_ex = m.recommend(uq, n=5, exclude_seen=True, method="exact")
+    for i, u in enumerate(uq):
+        seen = set(items[users == u].tolist())
+        assert not set(it_ex[i].tolist()) & seen
+
+    # cold-start: fresh feature rows (different user space) still serve
+    Xc = np.random.default_rng(0).standard_normal((3, X.shape[1])
+                                                  ).astype(np.float32)
+    sc_c, it_c = m.recommend([0, 1, 2], n=4, X=Xc, exclude_seen=True,
+                             method="exact")
+    s_ref_c = (Xc @ m.W_) @ (Y @ m.H_).T
+    np.testing.assert_allclose(sc_c[:, 0], s_ref_c.max(1), rtol=1e-5)
+
+    # single-user convenience
+    assert m.top_n(int(uq[0]), 3).shape == (3,)

@@ -112,6 +112,37 @@ def test_fault_injection_restart_resume(tmp_path, single_process_reference):
     np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
 
 
+@pytest.mark.parametrize("exchange", ["all_to_all", "hybrid"])
+def test_two_process_compact_exchange(tmp_path, exchange):
+    """The rotation exchange (per-rotation ppermute round-trips) and the
+    hybrid head-psum variant are process-count invariant: 2-proc x 4-dev ==
+    1-proc x 8-dev under REAL jax.distributed (cross-process ppermute/psum
+    + make_array_from_callback placement)."""
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    env = _env_cpu_only()
+    coordinator = f"localhost:{_free_port()}"
+    p = subprocess.Popen(
+        [sys.executable, _WORKER, coordinator, "1", "0", str(ref_dir),
+         "--exchange", exchange],
+        env={**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        o, _ = p.communicate(timeout=240)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.communicate()
+    assert p.returncode == 0, o
+    ref = np.load(ref_dir / "result.npz")
+
+    _run_all(tmp_path, extra=("--exchange", exchange))
+    res = np.load(tmp_path / "result.npz")
+    np.testing.assert_allclose(res["U"], ref["U"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["V"], ref["V"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
+
+
 @pytest.fixture(scope="module")
 def imc_single_reference(tmp_path_factory):
     """IMC: same problem fit in ONE process on an 8-device mesh."""
