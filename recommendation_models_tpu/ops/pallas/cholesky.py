@@ -149,8 +149,8 @@ def _cholesky_solve_kernel_panel(g_ref, rhs_ref, reg_ref, out_ref, a_ref,
     jax.lax.fori_loop(0, k, bwd_step, 0, unroll=False)
 
 
-def _cholesky_solve_kernel(g_ref, rhs_ref, reg_ref, out_ref, a_ref, y_ref,
-                           x_ref):
+def _cholesky_solve_kernel(subs2, g_ref, rhs_ref, reg_ref, out_ref, a_ref,
+                           y_ref, x_ref):
     """One batch block: g (k, k, BT) SPD systems, rhs (k, BT), per-system
     ridge reg (1, BT) -> out (k, BT).
 
@@ -172,13 +172,13 @@ def _cholesky_solve_kernel(g_ref, rhs_ref, reg_ref, out_ref, a_ref, y_ref,
     # G may arrive bf16 (half the HBM read); factorization is f32 in VMEM
     a_ref[:] = (g_ref[:].astype(jnp.float32)
                 + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
-    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref)
+    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, subs2=subs2)
 
 
 # (rank-1 body above kept as the reference variant; the pair body below is
 # the default everywhere — bit-identical results, fewer RMW passes)
-def _cholesky_solve_kernel_pair(g_ref, rhs_ref, reg_ref, out_ref, a_ref,
-                                y_ref, x_ref):
+def _cholesky_solve_kernel_pair(subs2, g_ref, rhs_ref, reg_ref, out_ref,
+                                a_ref, y_ref, x_ref):
     """Rank-1 kernel with the rank-2 factorization body (_factor_body_pair:
     two columns per trailing read-modify-write pass)."""
     k, _, bt = a_ref.shape
@@ -186,11 +186,12 @@ def _cholesky_solve_kernel_pair(g_ref, rhs_ref, reg_ref, out_ref, a_ref,
     ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
     a_ref[:] = (g_ref[:].astype(jnp.float32)
                 + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
-    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=True)
+    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=True,
+                       subs2=subs2)
 
 
-def _cholesky_solve_kernel_2g(g_ref, g2_ref, rhs_ref, reg_ref, out_ref,
-                              a_ref, y_ref, x_ref):
+def _cholesky_solve_kernel_2g(subs2, g_ref, g2_ref, rhs_ref, reg_ref,
+                              out_ref, a_ref, y_ref, x_ref):
     """Two-operand variant: ``A = G1 + G2 + reg I`` summed in VMEM on load.
 
     Exists so callers with an extra additive gram term (the hot-column
@@ -205,7 +206,8 @@ def _cholesky_solve_kernel_2g(g_ref, g2_ref, rhs_ref, reg_ref, out_ref,
     ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
     a_ref[:] = (g_ref[:].astype(jnp.float32) + g2_ref[:].astype(jnp.float32)
                 + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
-    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=True)
+    _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=True,
+                       subs2=subs2)
 
 
 def hot_cols_cap(k: int) -> int:
@@ -235,7 +237,7 @@ def hot_cols_auto(k: int) -> int:
     return cap if cap >= 64 else 0
 
 
-def _cholesky_solve_kernel_hot(alpha, eps, bt, g_hbm, hv_ref, vT_ref,
+def _cholesky_solve_kernel_hot(alpha, eps, bt, subs2, g_hbm, hv_ref, vT_ref,
                                rhs_ref, reg_ref, out_ref, a_ref, y_ref,
                                x_ref, p_ref, sem):
     """Fused hot-column variant: the hot block's gram and rhs contributions
@@ -314,7 +316,10 @@ def _cholesky_solve_kernel_hot(alpha, eps, bt, g_hbm, hv_ref, vT_ref,
                 + ghot.reshape(k, k, bt)
                 + jnp.where(ri == ci, 1.0, 0.0) * reg[None])
     out_ref[:] = rhs_ref[:] + rhot
-    _factor_solve_body(a_ref, out_ref, out_ref, y_ref, x_ref, pair=True)
+    # rhs'-staged-in-out_ref is subs2-safe: forward substitution reads ALL
+    # rhs rows before backward substitution overwrites any of them
+    _factor_solve_body(a_ref, out_ref, out_ref, y_ref, x_ref, pair=True,
+                       subs2=subs2)
 
 
 def _factor_body_pair(a_ref):
@@ -375,11 +380,294 @@ def _factor_body_pair(a_ref):
     jax.lax.fori_loop(0, k // 2, pair_step, 0, unroll=False)
 
 
-def _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=False):
+def _factor_body_schur(a_ref):
+    """Two-level Schur factorization (the 'next frontier' of docs/PERF.md's
+    rank-128 anatomy): split A into k/2-wide column blocks.
+
+        phase 1: factor columns [0, h) with trailing updates RESTRICTED to
+                 the left column block (cols < h) plus the A12 rows still
+                 to be read (rows < h, cols >= h) — the A22 quadrant's
+                 corrections are DEFERRED;
+        phase 2: apply the deferred Schur update A22 -= L21 L21^T as
+                 rank-8 accumulation passes.  Unlike widening the factor
+                 step (rank-4/8 measured 37-57% slower — cross-term masked
+                 reduces), accumulation passes need NO corrections and NO
+                 serial dependency between groups;
+        phase 3: factor columns [h, k) with updates restricted to the
+                 right column block.
+
+    vs the rank-2 pair body this removes the (k-j) x (cols < j) dead
+    writes of every pass (~25% of the 2.1 MFLOP/system at k=128) and turns
+    another ~25% into dependency-free accumulation.  Zero extra VMEM: each
+    L21^T row is stashed in that row's OWN dead A12 slot (row j's [h:]
+    segment is read for the last time at pass j), and phase 3's column
+    writes reclaim the region afterwards.  NOT bit-identical to the pair
+    body (A22 corrections apply in grouped order), but the same exact f32
+    algorithm; parity is covered by the same oracle tolerances.
+
+    Requires k % 16 == 0 and (k // 2) % 8 == 0; profitable at k >= 128
+    (at k = 64 the pair body's full-square passes are already cheap).
+    """
+    k, _, bt = a_ref.shape
+    h = k // 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+    RP = 8
+
+    def pair_cols(j):
+        """Shared rank-2 column pair computation (same as the pair body)."""
+        d1 = a_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        inv1 = jax.lax.rsqrt(jnp.maximum(d1, 1e-30))
+        col1 = a_ref[:, pl.ds(j, 1), :]
+        row1 = a_ref[pl.ds(j, 1), :, :]
+        c1 = jnp.where(rows > j, col1 * inv1, 0.0)
+        ct1 = jnp.where(cols > j, row1 * inv1, 0.0)
+        a12 = a_ref[pl.ds(j, 1), pl.ds(j + 1, 1), :]
+        l12 = a12 * inv1
+        col2 = a_ref[:, pl.ds(j + 1, 1), :] - c1 * l12
+        row2 = a_ref[pl.ds(j + 1, 1), :, :] - l12 * ct1
+        d2 = a_ref[pl.ds(j + 1, 1), pl.ds(j + 1, 1), :] - l12 * l12
+        inv2 = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+        c2 = jnp.where(rows > j + 1, col2 * inv2, 0.0)
+        ct2 = jnp.where(cols > j + 1, row2 * inv2, 0.0)
+        return d1, inv1, c1, ct1, d2, inv2, c2, ct2
+
+    def left_step(q, carry):
+        j = 2 * q
+        d1, inv1, c1, ct1, d2, inv2, c2, ct2 = pair_cols(j)
+        ct1l, ct2l = ct1[:, :h], ct2[:, :h]
+        for r in range(k // RP):
+            @pl.when(j < (r + 1) * RP)
+            def _updl(r=r):
+                sl = pl.ds(r * RP, RP)
+                a_ref[sl, pl.ds(0, h), :] = (
+                    a_ref[sl, pl.ds(0, h), :]
+                    - c1[r * RP:(r + 1) * RP] * ct1l
+                    - c2[r * RP:(r + 1) * RP] * ct2l)
+        # A12 rows still to be read by later left passes (rows < h); the
+        # A22 quadrant's corrections are deferred to the Schur phase
+        ct1r, ct2r = ct1[:, h:], ct2[:, h:]
+        for r in range(h // RP):
+            @pl.when(j < (r + 1) * RP)
+            def _updr(r=r):
+                sl = pl.ds(r * RP, RP)
+                a_ref[sl, pl.ds(h, h), :] = (
+                    a_ref[sl, pl.ds(h, h), :]
+                    - c1[r * RP:(r + 1) * RP] * ct1r
+                    - c2[r * RP:(r + 1) * RP] * ct2r)
+        a_ref[:, pl.ds(j, 1), :] = jnp.where(rows == j, d1 * inv1, c1)
+        a_ref[:, pl.ds(j + 1, 1), :] = jnp.where(rows == j + 1,
+                                                 d2 * inv2, c2)
+        # stash L21^T rows in the rows' own dead A12 slots (row j's [h:]
+        # segment was read for the last time this pass)
+        a_ref[pl.ds(j, 1), pl.ds(h, h), :] = ct1r
+        a_ref[pl.ds(j + 1, 1), pl.ds(h, h), :] = ct2r
+        return carry
+
+    jax.lax.fori_loop(0, h // 2, left_step, 0, unroll=False)
+
+    GW = 8
+
+    def schur_step(g, carry):
+        p0 = g * GW
+        col = a_ref[:, pl.ds(p0, 1), :]
+        lt = a_ref[pl.ds(p0, 1), pl.ds(h, h), :]
+        upd = col[h:] * lt
+        for i in range(1, GW):
+            col = a_ref[:, pl.ds(p0 + i, 1), :]
+            lt = a_ref[pl.ds(p0 + i, 1), pl.ds(h, h), :]
+            upd = upd + col[h:] * lt
+        a_ref[pl.ds(h, h), pl.ds(h, h), :] = (
+            a_ref[pl.ds(h, h), pl.ds(h, h), :] - upd)
+        return carry
+
+    jax.lax.fori_loop(0, h // GW, schur_step, 0, unroll=False)
+
+    def right_step(q, carry):
+        j = h + 2 * q
+        d1, inv1, c1, ct1, d2, inv2, c2, ct2 = pair_cols(j)
+        ct1r, ct2r = ct1[:, h:], ct2[:, h:]
+        for r in range(h // RP, k // RP):
+            @pl.when(j < (r + 1) * RP)
+            def _upd(r=r):
+                sl = pl.ds(r * RP, RP)
+                a_ref[sl, pl.ds(h, h), :] = (
+                    a_ref[sl, pl.ds(h, h), :]
+                    - c1[r * RP:(r + 1) * RP] * ct1r
+                    - c2[r * RP:(r + 1) * RP] * ct2r)
+        # full-column writes also zero the stashed L21^T rows (rows < h of
+        # column j), leaving clean lower-triangular L for the substitutions
+        a_ref[:, pl.ds(j, 1), :] = jnp.where(rows == j, d1 * inv1, c1)
+        a_ref[:, pl.ds(j + 1, 1), :] = jnp.where(rows == j + 1,
+                                                 d2 * inv2, c2)
+        return carry
+
+    jax.lax.fori_loop(0, h // 2, right_step, 0, unroll=False)
+
+
+def _factor_body_pair_multi(a_refs):
+    """Pair factorization over SEVERAL independent (k, k, hb) blocks with
+    their loop bodies fused: one fori_loop whose body emits each half's
+    rsqrt -> scale -> RMW chain back to back, giving the VLIW scheduler
+    independent dependency chains to overlap. Tests the latency-bound
+    hypothesis of docs/PERF.md's rank-128 anatomy (the factor runs at ~25%
+    VPU utilization; per-pass time ~4x the elementwise cost). Lane width
+    drops to hb (<128), so every op is under-utilized lane-wise — whether
+    chain overlap beats lane occupancy is a measured question."""
+    k = a_refs[0].shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+    RP = 8
+
+    def pair_step(q, carry):
+        j = 2 * q
+        cs = []
+        for a_ref in a_refs:
+            d1 = a_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+            inv1 = jax.lax.rsqrt(jnp.maximum(d1, 1e-30))
+            col1 = a_ref[:, pl.ds(j, 1), :]
+            row1 = a_ref[pl.ds(j, 1), :, :]
+            c1 = jnp.where(rows > j, col1 * inv1, 0.0)
+            ct1 = jnp.where(cols > j, row1 * inv1, 0.0)
+            a12 = a_ref[pl.ds(j, 1), pl.ds(j + 1, 1), :]
+            l12 = a12 * inv1
+            col2 = a_ref[:, pl.ds(j + 1, 1), :] - c1 * l12
+            row2 = a_ref[pl.ds(j + 1, 1), :, :] - l12 * ct1
+            d2 = a_ref[pl.ds(j + 1, 1), pl.ds(j + 1, 1), :] - l12 * l12
+            inv2 = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+            c2 = jnp.where(rows > j + 1, col2 * inv2, 0.0)
+            ct2 = jnp.where(cols > j + 1, row2 * inv2, 0.0)
+            cs.append((d1, inv1, c1, ct1, d2, inv2, c2, ct2))
+        for r in range(k // RP):
+            @pl.when(j < (r + 1) * RP)
+            def _upd(r=r):
+                sl = pl.ds(r * RP, RP)
+                for a_ref, (d1, inv1, c1, ct1, d2, inv2, c2, ct2) in zip(
+                        a_refs, cs):
+                    a_ref[sl, :, :] = (a_ref[sl, :, :]
+                                       - c1[r * RP:(r + 1) * RP] * ct1
+                                       - c2[r * RP:(r + 1) * RP] * ct2)
+        for a_ref, (d1, inv1, c1, ct1, d2, inv2, c2, ct2) in zip(a_refs, cs):
+            a_ref[:, pl.ds(j, 1), :] = jnp.where(rows == j, d1 * inv1, c1)
+            a_ref[:, pl.ds(j + 1, 1), :] = jnp.where(rows == j + 1,
+                                                     d2 * inv2, c2)
+        return carry
+
+    jax.lax.fori_loop(0, k // 2, pair_step, 0, unroll=False)
+
+
+def _substitutions_pair_multi(a_refs, rhs_ref, out_ref, y_refs, x_refs):
+    """Pairwise substitutions over several independent lane-halves, loop
+    bodies fused (see _factor_body_pair_multi). rhs_ref/out_ref stay full
+    (k, bt) blocks: half h reads lane slice [h*hb, (h+1)*hb) of each rhs
+    row as a VALUE slice, and the solution rows are reassembled by lane
+    concatenation on the out writes (Mosaic block/ref lane dims must be
+    128-divisible, so the halves cannot be separate operands)."""
+    k, _, hb = a_refs[0].shape
+    n = len(a_refs)
+    bt = n * hb
+
+    for y_ref in y_refs:
+        y_ref[:] = jnp.zeros((1, k, hb), jnp.float32)
+
+    def fwd_step(q, carry):
+        j = 2 * q
+        r1_full = jnp.reshape(rhs_ref[pl.ds(j, 1), :], (1, 1, bt))
+        r2_full = jnp.reshape(rhs_ref[pl.ds(j + 1, 1), :], (1, 1, bt))
+        for h, (a_ref, y_ref) in enumerate(zip(a_refs, y_refs)):
+            row1 = a_ref[pl.ds(j, 1), :, :]
+            row2 = a_ref[pl.ds(j + 1, 1), :, :]
+            y = y_ref[:]
+            s1 = jnp.sum(row1 * y, axis=1, keepdims=True)
+            s2 = jnp.sum(row2 * y, axis=1, keepdims=True)
+            d1 = a_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+            d2 = a_ref[pl.ds(j + 1, 1), pl.ds(j + 1, 1), :]
+            l21 = a_ref[pl.ds(j + 1, 1), pl.ds(j, 1), :]
+            r1 = jax.lax.slice(r1_full, (0, 0, h * hb), (1, 1, (h + 1) * hb))
+            r2 = jax.lax.slice(r2_full, (0, 0, h * hb), (1, 1, (h + 1) * hb))
+            v1 = (r1 - s1) / jnp.maximum(d1, 1e-30)
+            v2 = (r2 - s2 - l21 * v1) / jnp.maximum(d2, 1e-30)
+            y_ref[:, pl.ds(j, 1), :] = v1
+            y_ref[:, pl.ds(j + 1, 1), :] = v2
+        return carry
+
+    jax.lax.fori_loop(0, k // 2, fwd_step, 0, unroll=False)
+
+    for x_ref in x_refs:
+        x_ref[:] = jnp.zeros((k, 1, hb), jnp.float32)
+
+    def bwd_step(t, carry):
+        j = k - 1 - 2 * t
+        v1s, v2s = [], []
+        for h, (a_ref, y_ref, x_ref) in enumerate(zip(a_refs, y_refs,
+                                                      x_refs)):
+            col1 = a_ref[:, pl.ds(j, 1), :]
+            col2 = a_ref[:, pl.ds(j - 1, 1), :]
+            x = x_ref[:]
+            s1 = jnp.sum(col1 * x, axis=0, keepdims=True)
+            s2 = jnp.sum(col2 * x, axis=0, keepdims=True)
+            d1 = a_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+            d2 = a_ref[pl.ds(j - 1, 1), pl.ds(j - 1, 1), :]
+            l = a_ref[pl.ds(j, 1), pl.ds(j - 1, 1), :]
+            y1 = y_ref[:, pl.ds(j, 1), :]
+            y2 = y_ref[:, pl.ds(j - 1, 1), :]
+            v1 = (y1 - s1) / jnp.maximum(d1, 1e-30)
+            v2 = (y2 - s2 - l * v1) / jnp.maximum(d2, 1e-30)
+            x_ref[pl.ds(j, 1), :, :] = v1
+            x_ref[pl.ds(j - 1, 1), :, :] = v2
+            v1s.append(v1)
+            v2s.append(v2)
+        out_ref[pl.ds(j, 1), :] = jnp.reshape(
+            jnp.concatenate(v1s, axis=2), (1, bt))
+        out_ref[pl.ds(j - 1, 1), :] = jnp.reshape(
+            jnp.concatenate(v2s, axis=2), (1, bt))
+        return carry
+
+    jax.lax.fori_loop(0, k // 2, bwd_step, 0, unroll=False)
+
+
+def _cholesky_solve_kernel_dual(g_ref, rhs_ref, reg_ref, out_ref,
+                                a0_ref, a1_ref, y0_ref, y1_ref,
+                                x0_ref, x1_ref):
+    """Dual-chain variant: the (k, k, bt) block is split into two lane
+    halves factored INTERLEAVED (one fused loop body -> two independent
+    serial chains). The split/merge are VALUE lane slices/concats (Mosaic
+    forbids sub-128 lane blocks); same total VMEM as the single-chain
+    kernel plus the halved y/x scratch."""
+    k = g_ref.shape[0]
+    bt = g_ref.shape[2]
+    hb = a0_ref.shape[2]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
+    eye = jnp.where(ri == ci, 1.0, 0.0)
+    g = g_ref[:].astype(jnp.float32) + eye * reg_ref[:][None]
+    a0_ref[:] = jax.lax.slice(g, (0, 0, 0), (k, k, hb))
+    a1_ref[:] = jax.lax.slice(g, (0, 0, hb), (k, k, bt))
+    _factor_body_pair_multi((a0_ref, a1_ref))
+    _substitutions_pair_multi((a0_ref, a1_ref), rhs_ref, out_ref,
+                              (y0_ref, y1_ref), (x0_ref, x1_ref))
+
+
+def _cholesky_solve_kernel_schur(subs2, g_ref, rhs_ref, reg_ref, out_ref,
+                                 a_ref, y_ref, x_ref):
+    """Rank-1 kernel wrapper around the two-level Schur factor body."""
+    k, _, bt = a_ref.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
+    a_ref[:] = (g_ref[:].astype(jnp.float32)
+                + jnp.where(ri == ci, 1.0, 0.0) * reg_ref[:][None])
+    _factor_body_schur(a_ref)
+    (_substitutions_pair if subs2 else _substitutions)(
+        a_ref, rhs_ref, out_ref, y_ref, x_ref)
+
+
+def _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=False,
+                       subs2=False):
     """Shared rank-1 factorization + substitutions over a loaded A block."""
+    subs = _substitutions_pair if subs2 else _substitutions
     if pair:
         _factor_body_pair(a_ref)
-        _substitutions(a_ref, rhs_ref, out_ref, y_ref, x_ref)
+        subs(a_ref, rhs_ref, out_ref, y_ref, x_ref)
         return
     k, _, bt = a_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
@@ -409,7 +697,64 @@ def _factor_solve_body(a_ref, rhs_ref, out_ref, y_ref, x_ref, pair=False):
         return carry
 
     jax.lax.fori_loop(0, k, fact_step, 0, unroll=False)
-    _substitutions(a_ref, rhs_ref, out_ref, y_ref, x_ref)
+    subs(a_ref, rhs_ref, out_ref, y_ref, x_ref)
+
+
+def _substitutions_pair(a_ref, rhs_ref, out_ref, y_ref, x_ref):
+    """Substitutions, TWO rows/columns per pass: halves the 2k serial
+    passes; the intra-pair dependency is one single-element ref read
+    (L[j+1, j]) — the same no-dynamic-value-slicing trick as the pair
+    factor step.  The two k-wide running inner products per pass are
+    dependency-free, so each pass is ~as fast as a rank-1 pass.
+    Bit-identical to the rank-1 substitutions (the extra cross term is
+    exactly the contribution y_j would have added to the running sum)."""
+    k, _, bt = a_ref.shape
+
+    y_ref[:] = jnp.zeros((1, k, bt), jnp.float32)
+
+    def fwd_step(q, carry):
+        j = 2 * q
+        row1 = a_ref[pl.ds(j, 1), :, :]
+        row2 = a_ref[pl.ds(j + 1, 1), :, :]
+        y = y_ref[:]
+        s1 = jnp.sum(row1 * y, axis=1, keepdims=True)
+        s2 = jnp.sum(row2 * y, axis=1, keepdims=True)
+        d1 = a_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        d2 = a_ref[pl.ds(j + 1, 1), pl.ds(j + 1, 1), :]
+        l21 = a_ref[pl.ds(j + 1, 1), pl.ds(j, 1), :]
+        r1 = jnp.reshape(rhs_ref[pl.ds(j, 1), :], (1, 1, bt))
+        r2 = jnp.reshape(rhs_ref[pl.ds(j + 1, 1), :], (1, 1, bt))
+        v1 = (r1 - s1) / jnp.maximum(d1, 1e-30)
+        v2 = (r2 - s2 - l21 * v1) / jnp.maximum(d2, 1e-30)
+        y_ref[:, pl.ds(j, 1), :] = v1
+        y_ref[:, pl.ds(j + 1, 1), :] = v2
+        return carry
+
+    jax.lax.fori_loop(0, k // 2, fwd_step, 0, unroll=False)
+
+    x_ref[:] = jnp.zeros((k, 1, bt), jnp.float32)
+
+    def bwd_step(t, carry):
+        j = k - 1 - 2 * t
+        col1 = a_ref[:, pl.ds(j, 1), :]
+        col2 = a_ref[:, pl.ds(j - 1, 1), :]
+        x = x_ref[:]
+        s1 = jnp.sum(col1 * x, axis=0, keepdims=True)
+        s2 = jnp.sum(col2 * x, axis=0, keepdims=True)
+        d1 = a_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        d2 = a_ref[pl.ds(j - 1, 1), pl.ds(j - 1, 1), :]
+        l = a_ref[pl.ds(j, 1), pl.ds(j - 1, 1), :]     # L[j, j-1]
+        y1 = y_ref[:, pl.ds(j, 1), :]
+        y2 = y_ref[:, pl.ds(j - 1, 1), :]
+        v1 = (y1 - s1) / jnp.maximum(d1, 1e-30)
+        v2 = (y2 - s2 - l * v1) / jnp.maximum(d2, 1e-30)
+        x_ref[pl.ds(j, 1), :, :] = v1
+        x_ref[pl.ds(j - 1, 1), :, :] = v2
+        out_ref[pl.ds(j, 1), :] = jnp.reshape(v1, (1, bt))
+        out_ref[pl.ds(j - 1, 1), :] = jnp.reshape(v2, (1, bt))
+        return carry
+
+    jax.lax.fori_loop(0, k // 2, bwd_step, 0, unroll=False)
 
 
 def _substitutions(a_ref, rhs_ref, out_ref, y_ref, x_ref):
@@ -446,11 +791,16 @@ def _substitutions(a_ref, rhs_ref, out_ref, y_ref, x_ref):
     jax.lax.fori_loop(0, k, bwd_step, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "panel", "pair"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "panel", "pair", "schur",
+                                    "subs2", "dual"))
 def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
                       interpret: bool = False,
                       panel: bool = True,
                       pair: bool = True,
+                      schur: bool = False,
+                      subs2: bool = True,
+                      dual: bool = False,
                       Gt2: jnp.ndarray = None) -> jnp.ndarray:
     """Batch-minor entry: Gt (k, k, B) (ridge NOT yet added), rhst (k, B),
     regv (1, B) per-system ridge -> x (k, B).
@@ -485,14 +835,60 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
         out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
     g_spec = pl.BlockSpec((k, k, bt), lambda i: (0, 0, i),
                           memory_space=pltpu.VMEM)
+    if dual:
+        if Gt2 is not None:
+            raise ValueError("dual variant has no two-operand form")
+        if b % bt or bt % 2:
+            raise ValueError(f"dual variant needs b % bt == 0, bt even; "
+                             f"got b={b}, bt={bt}")
+        hb = bt // 2
+        return pl.pallas_call(
+            _cholesky_solve_kernel_dual,
+            grid=(b // bt,),
+            in_specs=[
+                g_spec,
+                pl.BlockSpec((k, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k, bt), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((k, k, hb), jnp.float32),
+                pltpu.VMEM((k, k, hb), jnp.float32),
+                pltpu.VMEM((1, k, hb), jnp.float32),
+                pltpu.VMEM((1, k, hb), jnp.float32),
+                pltpu.VMEM((k, 1, hb), jnp.float32),
+                pltpu.VMEM((k, 1, hb), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * k * k * k * b + 4 * k * k * b,
+                bytes_accessed=(k * k * b + 3 * k * b) * 4,
+                transcendentals=k * b,
+            ),
+            interpret=interpret,
+        )(Gt, rhst, regv)
     if Gt2 is not None:
-        kernel = _cholesky_solve_kernel_2g
+        kernel = functools.partial(_cholesky_solve_kernel_2g, subs2)
         operands = (Gt, Gt2, rhst, regv)
         g_specs = [g_spec, g_spec]
     else:
-        kernel = (_cholesky_solve_kernel_panel if panel
-                  else _cholesky_solve_kernel_pair if pair
-                  else _cholesky_solve_kernel)
+        if schur:
+            if k % 16 or (k // 2) % 8:
+                raise ValueError(f"schur variant requires k % 16 == 0, "
+                                 f"got k={k}")
+            kernel = functools.partial(_cholesky_solve_kernel_schur, subs2)
+        elif panel:
+            kernel = _cholesky_solve_kernel_panel
+        else:
+            kernel = functools.partial(
+                _cholesky_solve_kernel_pair if pair
+                else _cholesky_solve_kernel, subs2)
         operands = (Gt, rhst, regv)
         g_specs = [g_spec]
     return pl.pallas_call(
@@ -514,7 +910,7 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
         ] + ([
             pltpu.VMEM((k, 8, bt), jnp.float32),   # panel columns c
             pltpu.VMEM((8, k, bt), jnp.float32),   # panel rows c^T
-        ] if (panel and Gt2 is None) else []),
+        ] if (panel and not schur and Gt2 is None) else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -528,11 +924,12 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
     )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "interpret"))
+@functools.partial(jax.jit, static_argnames=("alpha", "interpret", "subs2"))
 def _cholesky_solve_t_hot(Gt: jnp.ndarray, rhst: jnp.ndarray,
                           regv: jnp.ndarray, hvT: jnp.ndarray,
                           vT: jnp.ndarray,
-                          alpha=None, interpret: bool = False) -> jnp.ndarray:
+                          alpha=None, interpret: bool = False,
+                          subs2: bool = True) -> jnp.ndarray:
     """Batch-minor entry with fused hot-column contribution.
 
     Gt (k, k, B) gathered gram (no ridge), rhst (k, B), regv (1, B),
@@ -557,7 +954,7 @@ def _cholesky_solve_t_hot(Gt: jnp.ndarray, rhst: jnp.ndarray,
     else:
         out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_cholesky_solve_kernel_hot, alpha, 0.0, bt),
+        functools.partial(_cholesky_solve_kernel_hot, alpha, 0.0, bt, subs2),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # G streamed by manual DMA

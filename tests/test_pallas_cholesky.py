@@ -130,3 +130,32 @@ def test_hot_solve_matches_and_caps(rng):
             np.linalg.solve(G[i] + Gh[i] + reg[i] * np.eye(k),
                             rhs[i] + rh[i]) for i in range(b)])
         np.testing.assert_allclose(x.T, ref, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("variant", [
+    dict(panel=False, pair=False),              # rank-1
+    dict(panel=False, pair=True, subs2=False),  # pair + rank-1 subs
+    dict(panel=False, schur=True),              # two-level Schur
+    dict(panel=False, dual=True),               # dual-chain interleave
+])
+def test_factor_variants_match(rng, variant):
+    """Every factorization/substitution variant must solve the same systems
+    (non-default variants are perf experiments — see scripts/
+    probe_solve_variants.py and docs/PERF.md for the measured verdicts)."""
+    from recommendation_models_tpu.ops.pallas.cholesky import (
+        _cholesky_solve_t, _use_interpret, block_batch)
+
+    k = 16
+    b = block_batch(k)  # dual needs b % bt == 0
+    G = _random_spd(rng, b, k)
+    rhs = rng.standard_normal((b, k)).astype(np.float32)
+    Gt = jnp.asarray(G.transpose(1, 2, 0))
+    rhst = jnp.asarray(rhs.T)
+    regv = jnp.full((1, b), 0.1, jnp.float32)
+    x = np.asarray(_cholesky_solve_t(Gt, rhst, regv,
+                                     interpret=_use_interpret(),
+                                     **variant)).T
+    Gr = G + 0.1 * np.eye(k, dtype=np.float32)
+    ref = np.stack([np.linalg.solve(Gr[i], rhs[i]) for i in range(b)])
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(x, ref, atol=5e-4 * scale, rtol=5e-4)
