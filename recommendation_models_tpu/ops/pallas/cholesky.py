@@ -37,13 +37,21 @@ def block_batch(k: int) -> int:
     """Batch block size: keep the (k, k, BT) scratch + double-buffered input
     inside ~12 MB of VMEM while holding the 128-lane dim full when we can.
     Callers that pre-pad their batch to this multiple skip a whole-array
-    pad+copy in the wrapper."""
+    pad+copy in the wrapper.
+
+    Above k=128 the full-lane block no longer fits (at k=256, scratch +
+    double-buffered input would be ~100 MB): shrink the lane dim so
+    3 * k^2 * bt * 4B stays under ~40 MB. Sub-128 lanes waste vreg width
+    (see docs/PERF.md dual-chain entry), but k>128 ranks are a rare
+    robustness case, not a tuned path."""
     kp = -(-k // 8) * 8
     if kp <= 32:
         return 512
     if kp <= 64:
         return 256
-    return 128
+    if kp <= 160:
+        return 128
+    return max(8, (40 * 1024 * 1024 // (3 * kp * kp * 4)) // 8 * 8)
 
 
 _block_batch = block_batch

@@ -226,6 +226,10 @@ def main():
                   if "indices" in b)
     block = block_batch(rank)
     n_sys_u = -(-n_sys_u // block) * block
+    # cap the probe batch: (k, k, n) f32 systems at k=128 / 162k rows would
+    # be ~10 GB of HBM arguments; per-system rate is flat past ~64k systems
+    # (measured), so probe a sample and scale by count when reading results
+    n_sys_u = min(n_sys_u, 64 * 1024)
     Gu, ru = mk_systems(n_sys_u, jax.random.PRNGKey(0))
     reg = jnp.full((n_sys_u,), 0.1, jnp.float32)
     # dense-whale block alone (no gathers — one MXU matmul per col chunk)

@@ -159,3 +159,18 @@ def test_factor_variants_match(rng, variant):
     ref = np.stack([np.linalg.solve(Gr[i], rhs[i]) for i in range(b)])
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(x, ref, atol=5e-4 * scale, rtol=5e-4)
+
+
+@pytest.mark.parametrize("k", [192, 256])
+def test_large_rank_blocks(rng, k):
+    """k > 128 shrinks the lane block so VMEM stays bounded (robustness
+    path, not a tuned one) — solutions must still match."""
+    from recommendation_models_tpu.ops.pallas.cholesky import block_batch
+    assert block_batch(k) * 3 * k * k * 4 <= 41 * 1024 * 1024
+    b = 5
+    G = _random_spd(rng, b, k, jitter=1.0)
+    rhs = rng.standard_normal((b, k)).astype(np.float32)
+    x = np.asarray(cholesky_solve(jnp.asarray(G), jnp.asarray(rhs)))
+    ref = np.stack([np.linalg.solve(G[i], rhs[i]) for i in range(b)])
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(x, ref, atol=5e-4 * scale, rtol=5e-4)
