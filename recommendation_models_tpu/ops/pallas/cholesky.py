@@ -804,7 +804,7 @@ def _substitutions(a_ref, rhs_ref, out_ref, y_ref, x_ref):
                                     "subs2", "dual"))
 def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
                       interpret: bool = False,
-                      panel: bool = True,
+                      panel: bool = False,
                       pair: bool = True,
                       schur: bool = False,
                       subs2: bool = True,
