@@ -39,11 +39,12 @@ def block_batch(k: int) -> int:
     Callers that pre-pad their batch to this multiple skip a whole-array
     pad+copy in the wrapper.
 
-    Above k=128 the full-lane block no longer fits (at k=256, scratch +
+    Above k=160 the full-lane block no longer fits (at k=256, scratch +
     double-buffered input would be ~100 MB): shrink the lane dim so
-    3 * k^2 * bt * 4B stays under ~40 MB. Sub-128 lanes waste vreg width
-    (see docs/PERF.md dual-chain entry), but k>128 ranks are a rare
-    robustness case, not a tuned path."""
+    3 * k^2 * bt * 4B stays under ~40 MB. A sub-128 lane block is only a
+    legal Mosaic operand when it spans the WHOLE batch (single-block
+    grid) — multi-block large-k solves must take the XLA path; see
+    pallas_supported()."""
     kp = -(-k // 8) * 8
     if kp <= 32:
         return 512
@@ -52,6 +53,19 @@ def block_batch(k: int) -> int:
     if kp <= 160:
         return 128
     return max(8, (40 * 1024 * 1024 // (3 * kp * kp * 4)) // 8 * 8)
+
+
+def pallas_supported(k: int, b: int) -> bool:
+    """Whether the compiled kernel can solve a (k, k, b) batch on TPU.
+
+    Above k=160 the VMEM-bounded batch block is narrower than 128 lanes,
+    which Mosaic only accepts when the block EQUALS the (padded) batch —
+    i.e. a single-block grid. Multi-block large-k solves route to the XLA
+    anchor instead (a rare robustness case, not a tuned path; interpret
+    mode has no such constraint but follows the same rule so CPU CI
+    exercises the decision)."""
+    kp = -(-k // 8) * 8
+    return kp <= 160 or b <= block_batch(kp)
 
 
 _block_batch = block_batch
@@ -413,8 +427,8 @@ def _factor_body_schur(a_ref):
     body (A22 corrections apply in grouped order), but the same exact f32
     algorithm; parity is covered by the same oracle tolerances.
 
-    Requires k % 16 == 0 and (k // 2) % 8 == 0; profitable at k >= 128
-    (at k = 64 the pair body's full-square passes are already cheap).
+    Requires k % 16 == 0; measured SLOWER than the pair body at k = 128
+    (+12%, docs/PERF.md) — kept as a non-default reference variant.
     """
     k, _, bt = a_ref.shape
     h = k // 2
@@ -714,8 +728,14 @@ def _substitutions_pair(a_ref, rhs_ref, out_ref, y_ref, x_ref):
     (L[j+1, j]) — the same no-dynamic-value-slicing trick as the pair
     factor step.  The two k-wide running inner products per pass are
     dependency-free, so each pass is ~as fast as a rank-1 pass.
-    Bit-identical to the rank-1 substitutions (the extra cross term is
-    exactly the contribution y_j would have added to the running sum)."""
+
+    NOT bitwise identical to the rank-1 substitutions (unlike the pair
+    FACTOR step, which is — verified on device via
+    scripts/probe_solve_variants.py's bitwise check): the cross term is
+    subtracted after the k-wide reduction instead of entering it as a
+    leaf, so the f32 association differs by ulps. Same exact algorithm;
+    parity holds at the oracle tolerances. Isolated k=128: 70.6 -> 64.0
+    ms per 65k systems (-9%)."""
     k, _, bt = a_ref.shape
 
     y_ref[:] = jnp.zeros((1, k, bt), jnp.float32)
@@ -843,56 +863,38 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
         out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
     g_spec = pl.BlockSpec((k, k, bt), lambda i: (0, 0, i),
                           memory_space=pltpu.VMEM)
-    if dual:
-        if Gt2 is not None:
-            raise ValueError("dual variant has no two-operand form")
-        if b % bt or bt % 2:
-            raise ValueError(f"dual variant needs b % bt == 0, bt even; "
-                             f"got b={b}, bt={bt}")
-        hb = bt // 2
-        return pl.pallas_call(
-            _cholesky_solve_kernel_dual,
-            grid=(b // bt,),
-            in_specs=[
-                g_spec,
-                pl.BlockSpec((k, bt), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bt), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((k, bt), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((k, k, hb), jnp.float32),
-                pltpu.VMEM((k, k, hb), jnp.float32),
-                pltpu.VMEM((1, k, hb), jnp.float32),
-                pltpu.VMEM((1, k, hb), jnp.float32),
-                pltpu.VMEM((k, 1, hb), jnp.float32),
-                pltpu.VMEM((k, 1, hb), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * k * k * k * b + 4 * k * k * b,
-                bytes_accessed=(k * k * b + 3 * k * b) * 4,
-                transcendentals=k * b,
-            ),
-            interpret=interpret,
-        )(Gt, rhst, regv)
+    scratch = [
+        pltpu.VMEM((k, k, bt), jnp.float32),
+        pltpu.VMEM((1, k, bt), jnp.float32),
+        pltpu.VMEM((k, 1, bt), jnp.float32),
+    ]
     if Gt2 is not None:
+        if dual:
+            raise ValueError("dual variant has no two-operand form")
         kernel = functools.partial(_cholesky_solve_kernel_2g, subs2)
         operands = (Gt, Gt2, rhst, regv)
         g_specs = [g_spec, g_spec]
     else:
-        if schur:
-            if k % 16 or (k // 2) % 8:
+        if dual:
+            if b % bt or bt % 2:
+                raise ValueError(f"dual variant needs b % bt == 0, bt "
+                                 f"even; got b={b}, bt={bt}")
+            hb = bt // 2
+            kernel = _cholesky_solve_kernel_dual
+            scratch = [pltpu.VMEM(s, jnp.float32)
+                       for s in ((k, k, hb), (k, k, hb), (1, k, hb),
+                                 (1, k, hb), (k, 1, hb), (k, 1, hb))]
+        elif schur:
+            if k % 16:
                 raise ValueError(f"schur variant requires k % 16 == 0, "
                                  f"got k={k}")
             kernel = functools.partial(_cholesky_solve_kernel_schur, subs2)
         elif panel:
             kernel = _cholesky_solve_kernel_panel
+            scratch = scratch + [
+                pltpu.VMEM((k, 8, bt), jnp.float32),   # panel columns c
+                pltpu.VMEM((8, k, bt), jnp.float32),   # panel rows c^T
+            ]
         else:
             kernel = functools.partial(
                 _cholesky_solve_kernel_pair if pair
@@ -911,14 +913,7 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
         out_specs=pl.BlockSpec((k, bt), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((k, k, bt), jnp.float32),
-            pltpu.VMEM((1, k, bt), jnp.float32),
-            pltpu.VMEM((k, 1, bt), jnp.float32),
-        ] + ([
-            pltpu.VMEM((k, 8, bt), jnp.float32),   # panel columns c
-            pltpu.VMEM((8, k, bt), jnp.float32),   # panel rows c^T
-        ] if (panel and not schur and Gt2 is None) else []),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -1012,6 +1007,10 @@ def cholesky_solve_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
     """
     b = G_flat.shape[0]
     assert k % 8 == 0, "flat path requires sublane-aligned k"
+    if not pallas_supported(k, b):
+        raise ValueError(
+            f"k={k}, b={b}: multi-block grids need <=160-wide systems "
+            f"(Mosaic lane limit) — use ops.solve with solver='auto'")
     interpret = _use_interpret()
     bt = _block_batch(k)
     bp = -(-b // bt) * bt
@@ -1047,6 +1046,10 @@ def cholesky_solve(G: jnp.ndarray, rhs: jnp.ndarray,
     panel-scratch traffic. Kept as an option/reference.
     """
     b, k, _ = G.shape
+    if not pallas_supported(k, b):
+        raise ValueError(
+            f"k={k}, b={b}: multi-block grids need <=160-wide systems "
+            f"(Mosaic lane limit) — use ops.solve with solver='auto'")
     interpret = _use_interpret()
 
     kp = -(-k // 8) * 8

@@ -56,8 +56,11 @@ def solve_spd(G: jnp.ndarray, rhs: jnp.ndarray, solver: str = "xla") -> jnp.ndar
     """
     solver = resolve_solver(solver)
     if solver == "pallas":
-        from recommendation_models_tpu.ops.pallas.cholesky import cholesky_solve
-        return cholesky_solve(G, rhs)
+        from recommendation_models_tpu.ops.pallas.cholesky import (
+            cholesky_solve, pallas_supported)
+        if pallas_supported(G.shape[-1], G.shape[0] if G.ndim == 3 else 1):
+            return cholesky_solve(G, rhs)
+        solver = "xla"   # multi-block k>160: Mosaic lane limit (cholesky.py)
     if solver == "lu":
         return jnp.linalg.solve(G, rhs[..., None])[..., 0]
     if solver != "xla":
@@ -82,8 +85,9 @@ def solve_spd_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
     solver = resolve_solver(solver)
     if solver == "pallas" and k % 8 == 0:
         from recommendation_models_tpu.ops.pallas.cholesky import (
-            cholesky_solve_flat)
-        return cholesky_solve_flat(G_flat, rhs, k, reg_vec=reg_vec)
+            cholesky_solve_flat, pallas_supported)
+        if pallas_supported(k, G_flat.shape[0]):
+            return cholesky_solve_flat(G_flat, rhs, k, reg_vec=reg_vec)
     G_flat = G_flat.astype(jnp.float32)   # bf16 G storage: upcast to solve
     if reg_vec is not None:
         G_flat = G_flat + (jnp.asarray(reg_vec, G_flat.dtype)[:, None]
@@ -120,7 +124,9 @@ def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
     solver = resolve_solver(solver)
     if solver == "pallas" and k % 8 == 0:
         from recommendation_models_tpu.ops.pallas.cholesky import (
-            _cholesky_solve_t, _use_interpret, block_batch)
+            _cholesky_solve_t, _use_interpret, block_batch, pallas_supported)
+        if not pallas_supported(k, b):
+            return solve_spd_t(Gt, rhst, "xla", reg_vec=reg_vec, Gt2=Gt2)
         block = block_batch(k)
         bp = b if b <= block else -(-b // block) * block
         bp = -(-bp // 8) * 8
@@ -167,7 +173,7 @@ def solve_spd_t_hot(Gt: jnp.ndarray, rhst: jnp.ndarray, hvT: jnp.ndarray,
 
     k, _, b = Gt.shape
     solver = resolve_solver(solver)
-    if solver == "pallas" and k % 8 == 0:
+    if solver == "pallas" and k % 8 == 0 and k <= 160:
         from recommendation_models_tpu.ops.pallas.cholesky import (
             _cholesky_solve_t_hot, _use_interpret, block_batch, hot_cols_cap)
         if hvT.shape[0] <= hot_cols_cap(k):

@@ -27,7 +27,7 @@ from recommendation_models_tpu.ops.pallas.cholesky import (
     _cholesky_solve_t, _use_interpret, block_batch)
 
 VARIANT_KW = {
-    "rank1": dict(panel=False, pair=False),
+    "rank1": dict(panel=False, pair=False, subs2=False),   # the r1 baseline
     "pair": dict(panel=False, pair=True),
     "panel": dict(panel=True),
     "schur": dict(panel=False, schur=True),
@@ -67,12 +67,13 @@ def main() -> int:
         (jnp.linalg.cholesky(g), True), r))(Gr[:nref], jnp.asarray(rhs[:nref]))
     xref = np.asarray(xref)
 
-    results = {}
+    results, sols = {}, {}
     for v in variants:
         kw = VARIANT_KW[v]
         try:
             x = _cholesky_solve_t(Gt, rhst, regv, interpret=interpret, **kw)
-            xs = np.asarray(x[:, :nref]).T
+            sols[v] = np.asarray(x)
+            xs = sols[v][:, :nref].T
         except Exception as e:  # noqa: BLE001 — probe reports and moves on
             print(f"{v:8s} FAILED: {type(e).__name__}: {e}")
             continue
@@ -80,8 +81,12 @@ def main() -> int:
         err = float(np.max(np.abs(xs - xref) / denom))
         if not interpret:
             def scanned(g, r, q):
+                # carry perturbs the CHEAP rhs operand: a g + c add would
+                # materialize a fresh (k, k, B) HBM array per iteration
+                # (~10 ms at k=128/B=65k — measured, it inflated every
+                # variant's time ~13%)
                 def body(c, _):
-                    out = _cholesky_solve_t(g + c, r, q,
+                    out = _cholesky_solve_t(g, r + c, q,
                                             interpret=False, **kw)
                     return out.ravel()[0] * 1e-30, None
                 c, _ = jax.lax.scan(body, jnp.float32(0), None,
@@ -101,6 +106,11 @@ def main() -> int:
         if err > 5e-2:
             print(f"!! {v}: correctness FAILURE")
             return 1
+    names = [v for v in variants if v in sols]
+    for i in range(1, len(names)):
+        a, c = names[0], names[i]
+        same = np.array_equal(sols[a], sols[c])
+        print(f"# bitwise {a} == {c}: {same}")
     if "pair" in results and "schur" in results:
         print(f"# schur/pair = {results['schur'] / results['pair']:.3f}")
     return 0

@@ -239,3 +239,24 @@ def test_row_blocked_accumulation_matches_unblocked(rng):
         np.asarray(half_sweep(V, ub, n_users, big)),
         np.asarray(half_sweep(V, ub, n_users, tiny)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_solve_spd_t_large_rank_falls_back(rng):
+    """k > 160 with a multi-block batch is outside the Mosaic lane limit:
+    solve_spd_t must route to the XLA anchor (same answers)."""
+    import jax.numpy as jnp
+    from recommendation_models_tpu.ops.pallas.cholesky import (
+        block_batch, pallas_supported)
+    from recommendation_models_tpu.ops.solve import solve_spd_t
+
+    k = 192
+    b = block_batch(k) + 8          # forces a multi-block grid
+    assert not pallas_supported(k, b)
+    A = rng.standard_normal((b, k, k)).astype(np.float32) / np.sqrt(k)
+    G = np.einsum("bij,bkj->bik", A, A) + 0.5 * np.eye(k, dtype=np.float32)
+    rhs = rng.standard_normal((b, k)).astype(np.float32)
+    x = np.asarray(solve_spd_t(jnp.asarray(G.transpose(1, 2, 0)),
+                               jnp.asarray(rhs.T), "pallas")).T
+    ref = np.stack([np.linalg.solve(G[i], rhs[i]) for i in range(b)])
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(x, ref, atol=5e-4 * scale, rtol=5e-4)

@@ -133,10 +133,11 @@ def test_hot_solve_matches_and_caps(rng):
 
 
 @pytest.mark.parametrize("variant", [
-    dict(panel=False, pair=False),              # rank-1
-    dict(panel=False, pair=True, subs2=False),  # pair + rank-1 subs
-    dict(panel=False, schur=True),              # two-level Schur
-    dict(panel=False, dual=True),               # dual-chain interleave
+    dict(panel=False, pair=False, subs2=False),  # pure rank-1 baseline
+    dict(panel=False, pair=False),               # rank-1 factor, pair subs
+    dict(panel=False, pair=True, subs2=False),   # pair factor, rank-1 subs
+    dict(panel=False, schur=True),               # two-level Schur
+    dict(panel=False, dual=True),                # dual-chain interleave
 ])
 def test_factor_variants_match(rng, variant):
     """Every factorization/substitution variant must solve the same systems
