@@ -377,21 +377,34 @@ class ALS(BaseEstimator):
         # async: the sweep loop never blocks on disk (arrays stage to host
         # before save() returns, so the next sweep's donation is safe);
         # fit() waits for the last commit before returning
+        meta = {k: v for k, v in self.get_params().items()
+                if isinstance(v, (int, float, str, bool, type(None)))}
+        # true table sizes: sharded fits checkpoint PADDED tables, and a
+        # resumed estimator needs n_users_/n_items_ for recommend()/top_n
+        meta["n_users"], meta["n_items"] = self.n_users_, self.n_items_
         save_checkpoint(
             self.checkpoint_dir, step=sweep_idx + 1,
             state=dict(U=U, V=V,
                        history=np.asarray(self.history_, np.float32)),
-            metadata={k: v for k, v in self.get_params().items()
-                      if isinstance(v, (int, float, str, bool, type(None)))},
+            metadata=meta,
             wait=False,
         )
 
     def resume(self, checkpoint_dir: Optional[str] = None):
-        """Load factors (and sweep history) from the latest checkpoint."""
+        """Load factors (and sweep history) from the latest checkpoint.
+
+        Restores everything recommend()/predict need: factors are sliced
+        back to the true table sizes recorded in the checkpoint metadata
+        (sharded fits checkpoint shard-padded tables)."""
         from recommendation_models_tpu.utils.checkpoint import load_latest
         step, state = load_latest(checkpoint_dir or self.checkpoint_dir)
-        self.U_ = np.asarray(state["U"])
-        self.V_ = np.asarray(state["V"])
+        meta = state.get("metadata") or {}
+        U = np.asarray(state["U"])
+        V = np.asarray(state["V"])
+        self.n_users_ = int(meta.get("n_users", U.shape[0]))
+        self.n_items_ = int(meta.get("n_items", V.shape[0]))
+        self.U_ = U[: self.n_users_]
+        self.V_ = V[: self.n_items_]
         self.history_ = list(np.asarray(state["history"]))
         return step
 

@@ -39,8 +39,27 @@ def test_als_checkpoints_and_resume(tmp_path):
     assert step == 4
     np.testing.assert_allclose(m2.U_, m.U_, rtol=1e-6)
     np.testing.assert_allclose(m2.V_, m.V_, rtol=1e-6)
-    # resumed model serves predictions
+    # resumed model serves predictions AND recommendations (n_users_/
+    # n_items_ come back from the checkpoint metadata — a resumed sharded
+    # fit's tables are shard-padded, so shapes alone would be wrong)
     assert np.isfinite(m2.predict([0, 1], [0, 1])).all()
+    assert (m2.n_users_, m2.n_items_) == (25, 20)
+    assert len(m2.top_n(0, 5)) == 5
+
+
+def test_sharded_resume_unpads_tables(tmp_path):
+    """A sharded fit checkpoints PADDED tables; resume must slice back to
+    the true sizes so recommend() never returns padding items."""
+    R = tiny_problem(25, 19, seed=41)
+    m = ALS(rank=4, n_sweeps=2, n_shards=8, platform="cpu",
+            checkpoint_dir=str(tmp_path), checkpoint_every=1).fit(R)
+    m2 = ALS(rank=4, checkpoint_dir=str(tmp_path))
+    m2.resume()
+    assert (m2.n_users_, m2.n_items_) == (25, 19)
+    assert m2.U_.shape == (25, 4) and m2.V_.shape == (19, 4)
+    _, items = m2.recommend(np.arange(5), n=19, exclude_seen=False)
+    assert items.max() < 19
+    np.testing.assert_allclose(m2.U_, m.U_, rtol=1e-6)
 
 
 def test_load_latest_empty_raises(tmp_path):
