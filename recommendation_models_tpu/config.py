@@ -65,8 +65,14 @@ class MeshConfig:
     #   via one small all_gather (keeps the hot-column fast path; see
     #   parallel.exchange).
     exchange: str = "allgather"
+    # 'hybrid' exchange: replicate this many Zipf-head columns (None = auto,
+    # max(1024, 8 * hot_cols) — see models.als._fit_sharded).
+    exchange_head: Optional[int] = None
     # Mesh axis name used for the table shards.
     axis: str = "data"
+    # Multislice pods: slice-major device ordering so ring collectives cross
+    # DCN only at the num_slices slice boundaries (parallel.mesh.get_mesh).
+    num_slices: Optional[int] = None
     # Optional explicit platform ('cpu' to force the host mesh in tests).
     platform: Optional[str] = None
 
@@ -134,6 +140,9 @@ class DataConfig:
     bucket_merge_slack: int = 0
     # Pad each bucket's row count to a multiple of this (sublane alignment).
     row_multiple: int = 8
+    # Packed on-disk layout cache prefix (SURVEY.md §7 hard part 6: bucket
+    # once, not per run). None = rebuild every fit.
+    layout_cache: Optional[str] = None
 
 
 def gather_budget_for_rank(rank: int) -> int:
@@ -177,4 +186,4 @@ class FitConfig:
 
 
 __all__ = ["SolveConfig", "MeshConfig", "DataConfig", "FitConfig",
-           "dense_min_degree_for_rank"]
+           "dense_min_degree_for_rank", "gather_budget_for_rank"]

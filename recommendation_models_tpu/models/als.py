@@ -140,10 +140,11 @@ class ALS(BaseEstimator):
             rank=solve.rank, reg=solve.reg, alpha=solve.alpha,
             reg_by_degree=solve.reg_by_degree, solver=solve.solver,
             chunk=solve.chunk, compute_dtype=solve.compute_dtype,
-            n_shards=mesh.n_shards, exchange=mesh.exchange,
+            n_shards=mesh.n_shards, num_slices=mesh.num_slices,
+            exchange=mesh.exchange, exchange_head=mesh.exchange_head,
             platform=mesh.platform,
             min_bucket=data.min_bucket, max_bucket=data.max_bucket,
-            hot_cols=data.hot_cols,
+            hot_cols=data.hot_cols, layout_cache=data.layout_cache,
             # the dataclass default (512) means "unset" here so rank>64
             # configs keep the rank-aware auto threshold; 512 is what auto
             # resolves to for every rank <= 64 anyway
@@ -393,9 +394,14 @@ class ALS(BaseEstimator):
     def resume(self, checkpoint_dir: Optional[str] = None):
         """Load factors (and sweep history) from the latest checkpoint.
 
-        Restores everything recommend()/predict need: factors are sliced
-        back to the true table sizes recorded in the checkpoint metadata
-        (sharded fits checkpoint shard-padded tables)."""
+        Factors are sliced back to the true table sizes recorded in the
+        checkpoint metadata (sharded fits checkpoint shard-padded tables),
+        so predict()/score()/recommend(exclude_seen=False) work directly.
+        LIMITATION: the training observation lists are NOT checkpointed
+        (they are the input data, 100+ MB at ML-25M scale), so a resumed
+        estimator cannot honor ``recommend(exclude_seen=True)`` until the
+        next ``fit`` call re-supplies them — recommend() warns and serves
+        unfiltered in that case."""
         from recommendation_models_tpu.utils.checkpoint import load_latest
         step, state = load_latest(checkpoint_dir or self.checkpoint_dir)
         meta = state.get("metadata") or {}
@@ -470,6 +476,16 @@ class ALS(BaseEstimator):
         user_ids = np.atleast_1d(np.asarray(user_ids, np.int64))
         n = min(n, self.n_items_)    # never ask top_k for more than exists
         query_rows, topk = self._topk_backend(method, recall_target)
+        if exclude_seen and not hasattr(self, "_train_indptr"):
+            # resumed-from-checkpoint estimators have factors but not the
+            # training observation lists (see resume()): serving silently
+            # WITH seen items would break the reference top_n contract.
+            import warnings
+            warnings.warn(
+                "recommend(exclude_seen=True) on an estimator without "
+                "training indices (e.g. resumed from a checkpoint): seen "
+                "items canNOT be excluded; serving unfiltered scores. "
+                "Call fit() to restore exclusion.", stacklevel=2)
         if not (exclude_seen and hasattr(self, "_train_indptr")):
             scores, items = topk(query_rows(user_ids), n, None)
             return np.asarray(scores), np.asarray(items)

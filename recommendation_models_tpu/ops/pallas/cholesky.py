@@ -55,17 +55,27 @@ def block_batch(k: int) -> int:
     return max(8, (40 * 1024 * 1024 // (3 * kp * kp * 4)) // 8 * 8)
 
 
-def pallas_supported(k: int, b: int) -> bool:
+def pallas_supported(k: int, b: int, two_operand: bool = False) -> bool:
     """Whether the compiled kernel can solve a (k, k, b) batch on TPU.
 
-    Above k=160 the VMEM-bounded batch block is narrower than 128 lanes,
-    which Mosaic only accepts when the block EQUALS the (padded) batch —
-    i.e. a single-block grid. Multi-block large-k solves route to the XLA
-    anchor instead (a rare robustness case, not a tuned path; interpret
-    mode has no such constraint but follows the same rule so CPU CI
-    exercises the decision)."""
+    When the VMEM-bounded batch block is narrower than 128 lanes (k > 160
+    single-operand; k > 64 for the two-operand ``Gt2`` path, whose block is
+    halved — see _cholesky_solve_t), Mosaic only accepts the block when it
+    EQUALS the (padded) batch — i.e. a single-block grid. Multi-block
+    narrow-lane solves route to the XLA anchor instead (a rare robustness
+    case, not a tuned path; interpret mode has no such constraint but
+    follows the same rule so CPU CI exercises the decision).
+
+    At extreme k (>~660) even block_batch's 8-wide floor blows the VMEM
+    budget (3 refs * k^2 * 8 * 4B > the ~40 MB target): return False so the
+    caller falls back to XLA instead of a Mosaic/VMEM compile failure."""
     kp = -(-k // 8) * 8
-    return kp <= 160 or b <= block_batch(kp)
+    bt = block_batch(kp)
+    if two_operand:
+        bt = max(bt // 2, 8)
+    if 3 * kp * kp * bt * 4 > 40 * 1024 * 1024:
+        return False
+    return bt >= 128 or b <= bt
 
 
 _block_batch = block_batch

@@ -125,7 +125,7 @@ def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
     if solver == "pallas" and k % 8 == 0:
         from recommendation_models_tpu.ops.pallas.cholesky import (
             _cholesky_solve_t, _use_interpret, block_batch, pallas_supported)
-        if not pallas_supported(k, b):
+        if not pallas_supported(k, b, two_operand=Gt2 is not None):
             return solve_spd_t(Gt, rhst, "xla", reg_vec=reg_vec, Gt2=Gt2)
         block = block_batch(k)
         bp = b if b <= block else -(-b // block) * block

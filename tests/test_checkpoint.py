@@ -47,6 +47,24 @@ def test_als_checkpoints_and_resume(tmp_path):
     assert len(m2.top_n(0, 5)) == 5
 
 
+def test_resumed_recommend_warns_on_exclude_seen(tmp_path):
+    """A resumed estimator has no training observation lists, so
+    exclude_seen=True cannot be honored — it must WARN, not silently serve
+    unfiltered scores (ADVICE round 2)."""
+    R = tiny_problem(25, 20, seed=40)
+    ALS(rank=4, n_sweeps=2, checkpoint_dir=str(tmp_path),
+        checkpoint_every=1).fit(R)
+    m2 = ALS(rank=4, checkpoint_dir=str(tmp_path))
+    m2.resume()
+    with pytest.warns(UserWarning, match="exclude_seen"):
+        m2.recommend([0], n=5, exclude_seen=True)
+    # exclude_seen=False stays silent
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m2.recommend([0], n=5, exclude_seen=False)
+
+
 def test_sharded_resume_unpads_tables(tmp_path):
     """A sharded fit checkpoints PADDED tables; resume must slice back to
     the true sizes so recommend() never returns padding items."""

@@ -92,12 +92,15 @@ def test_from_configs_roundtrip():
                                                   MeshConfig, SolveConfig)
     m = ALS.from_configs(
         solve=SolveConfig(rank=7, reg=0.25, alpha=1.5),
-        mesh=MeshConfig(n_shards=2, exchange="all_to_all", platform="cpu"),
-        data=DataConfig(max_bucket=128),
+        mesh=MeshConfig(n_shards=2, exchange="hybrid", exchange_head=64,
+                        num_slices=2, platform="cpu"),
+        data=DataConfig(max_bucket=128, layout_cache="/tmp/lc"),
         fit=FitConfig(n_sweeps=3, seed=9))
     p = m.get_params()
     assert (p["rank"], p["reg"], p["alpha"]) == (7, 0.25, 1.5)
-    assert (p["n_shards"], p["exchange"]) == (2, "all_to_all")
+    assert (p["n_shards"], p["exchange"]) == (2, "hybrid")
+    assert (p["exchange_head"], p["num_slices"]) == (64, 2)
+    assert p["layout_cache"] == "/tmp/lc"
     assert (p["max_bucket"], p["n_sweeps"], p["seed"]) == (128, 3, 9)
 
 

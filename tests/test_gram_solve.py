@@ -260,3 +260,49 @@ def test_solve_spd_t_large_rank_falls_back(rng):
     ref = np.stack([np.linalg.solve(G[i], rhs[i]) for i in range(b)])
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(x, ref, atol=5e-4 * scale, rtol=5e-4)
+
+
+def test_pallas_supported_guards():
+    """The support predicate must model the actual compiled grids:
+    the 2-operand (Gt2) path halves the batch block, and block_batch's
+    8-wide floor at extreme k blows the VMEM budget (ADVICE round 2)."""
+    from recommendation_models_tpu.ops.pallas.cholesky import (
+        block_batch, pallas_supported)
+
+    # single-operand behavior unchanged: full-lane blocks multi-block fine
+    assert pallas_supported(64, 100_000)
+    assert pallas_supported(160, 100_000)
+    assert pallas_supported(192, block_batch(192))
+    assert not pallas_supported(192, block_batch(192) + 8)
+    # 2-operand path: block halves, so k=128 multi-block is sub-128-lane
+    assert pallas_supported(64, 100_000, two_operand=True)   # 256//2=128 ok
+    b128 = block_batch(128)
+    assert pallas_supported(128, b128 // 2, two_operand=True)
+    assert not pallas_supported(128, b128, two_operand=True)
+    # extreme k: the 8-wide floor exceeds the ~40 MB VMEM target -> False
+    # even for tiny batches (route to XLA instead of a Mosaic blowup)
+    assert not pallas_supported(1048, 8)
+    assert not pallas_supported(2048, 8)
+
+
+def test_solve_spd_t_two_operand_multiblock_falls_back(rng):
+    """A k=128 Gt2 solve with b > block/2 must take the XLA fallback (the
+    halved 64-lane block would compile an illegal multi-block Mosaic grid)
+    and still return correct answers."""
+    import jax.numpy as jnp
+    from recommendation_models_tpu.ops.pallas.cholesky import block_batch
+    from recommendation_models_tpu.ops.solve import solve_spd_t
+
+    k = 128
+    b = block_batch(k)           # 128: > halved block 64 -> fallback
+    A = rng.standard_normal((b, k, k)).astype(np.float32) / np.sqrt(k)
+    G1 = np.einsum("bij,bkj->bik", A, A) + 0.3 * np.eye(k, dtype=np.float32)
+    B2 = rng.standard_normal((b, k, k)).astype(np.float32) / np.sqrt(k)
+    G2 = np.einsum("bij,bkj->bik", B2, B2) + 0.3 * np.eye(k, dtype=np.float32)
+    rhs = rng.standard_normal((b, k)).astype(np.float32)
+    x = np.asarray(solve_spd_t(jnp.asarray(G1.transpose(1, 2, 0)),
+                               jnp.asarray(rhs.T), "pallas",
+                               Gt2=jnp.asarray(G2.transpose(1, 2, 0)))).T
+    ref = np.stack([np.linalg.solve(G1[i] + G2[i], rhs[i]) for i in range(b)])
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(x, ref, atol=5e-4 * scale, rtol=5e-4)
