@@ -490,51 +490,11 @@ class ALS(BaseEstimator):
             scores, items = topk(query_rows(user_ids), n, None)
             return np.asarray(scores), np.asarray(items)
 
-        # Exclusion overfetch is k + the batch's max degree, so one whale
-        # user (ML-25M degree 10^4+) would drag every row's approx_max_k to
-        # near-catalog width. Degree-bucket the batch: sort users by degree,
-        # cut at geometric width levels, and give each group its own
-        # exclusion width + top-k call. Host prep is all vectorized.
-        indptr = np.asarray(self._train_indptr, np.int64)
-        indices = np.asarray(self._train_indices)
-        degs = indptr[user_ids + 1] - indptr[user_ids]
-        order = np.argsort(degs, kind="stable")
-        sd = degs[order]
-        batch = user_ids.shape[0]
-        out_s = np.empty((batch, n), np.float32)
-        out_i = np.empty((batch, n), np.int64)
-
-        levels, w = [], 32
-        maxd = int(sd[-1]) if batch else 0
-        while True:
-            levels.append(w)
-            if w >= maxd:
-                break
-            w *= 4
-        cuts = np.searchsorted(sd, np.asarray(levels), side="right")
-        cols = None
-        start = 0
-        for cut in cuts:
-            if cut <= start:
-                continue
-            grp = order[start:cut]
-            width = max(1, int(sd[cut - 1]))   # group max degree
-            start = cut
-            lo = indptr[user_ids[grp]]
-            gdeg = degs[grp]
-            cols = np.arange(width, dtype=np.int64)[None, :]
-            valid = cols < gdeg[:, None]
-            pos = np.where(valid, lo[:, None] + cols, 0)
-            excl = np.where(valid, indices[pos], -1).astype(np.int32)
-            # chunk the queries so the exact (CPU) path's materialized
-            # score blocks stay bounded
-            for q in range(0, grp.shape[0], 16_384):
-                sl = slice(q, q + 16_384)
-                sc, it = topk(query_rows(user_ids[grp[sl]]), n,
-                              jnp.asarray(excl[sl]))
-                out_s[grp[sl]] = np.asarray(sc)
-                out_i[grp[sl]] = np.asarray(it)
-        return out_s, out_i
+        # degree-bucketed exclusion (ops.topk): one whale user must not
+        # drag every row's overfetch to near-catalog width
+        from recommendation_models_tpu.ops.topk import grouped_exclusion_topk
+        return grouped_exclusion_topk(user_ids, n, self._train_indptr,
+                                      self._train_indices, query_rows, topk)
 
     def _topk_backend(self, method: str, recall_target: float):
         """(query_rows, topk) callables for recommend().

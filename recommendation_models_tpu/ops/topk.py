@@ -36,6 +36,7 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -139,6 +140,62 @@ def topk_scores(
     return _topk_unseen(U_rows, V, k, method, recall_target, exclude)
 
 
+def grouped_exclusion_topk(user_ids, n, indptr, indices, query_rows, topk,
+                           query_chunk: int = 16_384):
+    """Degree-bucketed exclude-seen serving (host orchestration, shared by
+    the ALS and IMC `recommend` paths).
+
+    Exclusion overfetch is n + the batch's max train degree, so one whale
+    user (ML-25M degree 10^4+) would drag EVERY row's approx_max_k to
+    near-catalog width. Sort users by degree, cut at geometric width
+    levels, and give each group its own exclusion width + top-k call. Host
+    prep is all vectorized; queries are chunked so the exact (CPU) path's
+    materialized score blocks stay bounded.
+
+    ``query_rows(ids) -> (B, k)`` and ``topk(Uq, n, excl) -> (sc, it)`` are
+    backend callables (single-device or sharded). Returns NumPy
+    (scores (B, n), items (B, n)) aligned with ``user_ids``.
+    """
+    user_ids = np.atleast_1d(np.asarray(user_ids, np.int64))
+    indptr = np.asarray(indptr, np.int64)
+    indices = np.asarray(indices)
+    degs = indptr[user_ids + 1] - indptr[user_ids]
+    order = np.argsort(degs, kind="stable")
+    sd = degs[order]
+    batch = user_ids.shape[0]
+    out_s = np.empty((batch, n), np.float32)
+    out_i = np.empty((batch, n), np.int64)
+
+    levels, w = [], 32
+    maxd = int(sd[-1]) if batch else 0
+    while True:
+        levels.append(w)
+        if w >= maxd:
+            break
+        w *= 4
+    cuts = np.searchsorted(sd, np.asarray(levels), side="right")
+    start = 0
+    for cut in cuts:
+        if cut <= start:
+            continue
+        grp = order[start:cut]
+        width = max(1, int(sd[cut - 1]))   # group max degree
+        start = cut
+        lo = indptr[user_ids[grp]]
+        gdeg = degs[grp]
+        cols = np.arange(width, dtype=np.int64)[None, :]
+        valid = cols < gdeg[:, None]
+        pos = np.where(valid, lo[:, None] + cols, 0)
+        excl = np.where(valid, indices[pos], -1).astype(np.int32)
+        for q in range(0, grp.shape[0], query_chunk):
+            sl = slice(q, q + query_chunk)
+            sc, it = topk(query_rows(user_ids[grp[sl]]), n,
+                          jnp.asarray(excl[sl]))
+            out_s[grp[sl]] = np.asarray(sc)
+            out_i[grp[sl]] = np.asarray(it)
+    return out_s, out_i
+
+
 def sharded_topk(
     U_rows: jnp.ndarray,
     V: jnp.ndarray,
@@ -205,4 +262,4 @@ def sharded_topk(
     return sc_k, jnp.take_along_axis(idx, pos, axis=1)
 
 
-__all__ = ["topk_scores", "sharded_topk"]
+__all__ = ["topk_scores", "sharded_topk", "grouped_exclusion_topk"]

@@ -119,14 +119,27 @@ def build_exchange_plan(
     S = layout.n_shards
     css = col_shard_size
 
+    # Whale buckets hold few global rows but shard_layout pads every shard
+    # to the same (small) row count — at S=256 the padded blocks are ~30x
+    # the real entries. All three passes below therefore subset to REAL
+    # rows first (row_ids sentinel = rows_per_shard) and only then touch
+    # the (rows, P) blocks; this took ML-25M plan build from minutes to
+    # seconds at large S (BASELINE.md 'Exchange-plan build cost').
+    def real_rows(bucket_i, s=None):
+        rid = layout.row_ids[bucket_i]
+        if s is None:
+            return rid < layout.rows_per_shard          # (S, B) bool
+        return np.flatnonzero(rid[s] < layout.rows_per_shard)
+
     # ---- head selection: top-`head` columns by observation count --------
     head_sorted = np.empty(0, np.int64)
     if head > 0:
         counts = np.zeros(layout.n_cols, np.float64)
-        for idx, msk in zip(layout.indices, layout.mask):
+        for bi, (idx, msk) in enumerate(zip(layout.indices, layout.mask)):
+            rr = real_rows(bi)
+            sub_i, sub_m = idx[rr], msk[rr] > 0
             counts += np.bincount(
-                idx.ravel().astype(np.int64),
-                weights=(msk.ravel() > 0).astype(np.float64),
+                sub_i[sub_m].astype(np.int64),
                 minlength=layout.n_cols)[: layout.n_cols]
         head = min(head, layout.n_cols)
         top = np.argpartition(-counts, head - 1)[:head]
@@ -144,56 +157,77 @@ def build_exchange_plan(
         return head_sorted[pos_c] == ids, pos_c
 
     # ---- unique needed tail ids per (requester shard, owner shard) ------
-    req_ids = [[None] * S for _ in range(S)]
+    # Kept as ONE sorted array per requester shard: sorted ids group by
+    # owner contiguously, so owner splits are searchsorted boundaries —
+    # no per-(requester, owner) boolean masks (S^2 of them was the r2
+    # plan-build wall at S=256; see BASELINE.md 'plan build').
+    req_ids = []      # per shard: sorted unique tail ids, all owners
+    req_bounds = []   # per shard: (S+1,) owner-group boundaries
     n_tail_unique = 0
+    owner_edges = np.arange(S + 1, dtype=np.int64) * css
     for s in range(S):
         parts = []
-        for idx, msk in zip(layout.indices, layout.mask):
-            real = msk[s] > 0
-            parts.append(idx[s][real].ravel().astype(np.int64))
+        for bi, (idx, msk) in enumerate(zip(layout.indices, layout.mask)):
+            rows = real_rows(bi, s)
+            sub = idx[s][rows]
+            parts.append(sub[msk[s][rows] > 0].ravel().astype(np.int64))
         ids = (np.unique(np.concatenate(parts)) if parts
                else np.empty(0, np.int64))
         in_head, _ = split_head(ids)
         ids = ids[~in_head]
         n_tail_unique += int(ids.shape[0])
-        owners = ids // css
-        for o in range(S):
-            req_ids[s][o] = ids[owners == o]
+        req_ids.append(ids)
+        req_bounds.append(np.searchsorted(ids, owner_edges))
+    # counts[s, o] = unique tail ids shard s requests from owner o
+    counts = np.stack([np.diff(b) for b in req_bounds])
 
     # ---- per-rotation padded request blocks -----------------------------
     # rotation d: requester s <-> owner (s+d) % S
+    s_idx = np.arange(S)
     widths = tuple(
-        _pad8(max(req_ids[s][(s + d) % S].shape[0] for s in range(S)))
+        _pad8(int(counts[s_idx, (s_idx + d) % S].max()))
         for d in range(S))
     req_rot = []
     for d in range(S):
         block = np.full((S, widths[d]), css, dtype=np.int32)
         for s in range(S):
             o = (s + d) % S
-            ids = req_ids[s][o]
-            block[s, : ids.shape[0]] = (ids - o * css).astype(np.int32)
+            lo, hi = req_bounds[s][o], req_bounds[s][o + 1]
+            block[s, : hi - lo] = (req_ids[s][lo:hi] - o * css).astype(
+                np.int32)
         req_rot.append(block)
     offsets = H + np.concatenate([[0], np.cumsum(widths)[:-1]])
 
     # ---- remap observation indices -> slots into E ----------------------
+    # slot(id) = offsets[rotation(owner)] + rank of id within its owner
+    # group = one searchsorted over the shard's full sorted request list
+    # minus the group start — no inner owner loop. Only REAL (masked)
+    # entries are processed: whale buckets hold few rows, so shard_layout's
+    # per-shard row padding inflates their blocks ~15x — full-array ops
+    # there made plan build minutes at S>=128 (padding slots stay 0, whose
+    # served row has weight 0).
     remapped = []
-    for idx, msk in zip(layout.indices, layout.mask):
+    for bi, (idx, msk) in enumerate(zip(layout.indices, layout.mask)):
         out = np.zeros_like(idx)
         for s in range(S):
-            ids = idx[s].astype(np.int64)
-            slots = np.zeros(ids.shape, dtype=np.int64)
+            rows = real_rows(bi, s)
+            if not rows.size:
+                continue
+            m = msk[s][rows] > 0
+            ids = idx[s][rows][m].astype(np.int64)
+            if not ids.size:
+                continue
             in_head, head_pos = split_head(ids)
+            owners = np.minimum(ids // css, S - 1)
+            d = (owners - s) % S
+            pos = (np.searchsorted(req_ids[s], ids)
+                   - req_bounds[s][owners])
+            slots = offsets[d] + pos
             if H:
-                slots[in_head] = head_pos[in_head]
-            owners = ids // css
-            for o in range(S):
-                m = (owners == o) & ~in_head
-                if not m.any():
-                    continue
-                d = (o - s) % S
-                pos = np.searchsorted(req_ids[s][o], ids[m])
-                slots[m] = offsets[d] + pos
-            out[s] = np.where(msk[s] > 0, slots, 0).astype(np.int32)
+                slots = np.where(in_head, head_pos, slots)
+            blk = np.zeros((rows.shape[0], idx.shape[2]), idx.dtype)
+            blk[m] = slots.astype(np.int32)
+            out[s][rows] = blk
         remapped.append(out)
 
     # ---- head assembly maps ---------------------------------------------

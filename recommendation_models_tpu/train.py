@@ -185,12 +185,16 @@ def main(argv: Optional[list] = None) -> int:
 
     rows = (n_users + n_items) * len(getattr(model, "history_", [0]))
     # per-sweep collective traffic of the sharded exchange (static per fit;
-    # utils.logging 'collective bytes')
+    # utils.logging 'collective bytes'). The estimator's fit loop computes
+    # train_sse every sweep, which re-runs the user-half exchange — the
+    # logged number includes that extra half-sweep (per_sweep_with_sse), so
+    # it equals the ACTUAL per-sweep traffic of this fit.
     xbytes = getattr(model, "exchange_bytes_per_sweep_", None)
     for i, rmse in enumerate(model.history_):
         rec = dict(train_rmse=float(rmse))
         if xbytes is not None:
-            rec["collective_bytes"] = int(xbytes["per_sweep_total"])
+            rec["collective_bytes"] = int(
+                xbytes.get("per_sweep_with_sse", xbytes["per_sweep_total"]))
         metrics.log(i + 1, **rec)
     summary = dict(
         train_rmse=float(model.history_[-1]),
@@ -198,7 +202,10 @@ def main(argv: Optional[list] = None) -> int:
         rows_per_sec=round(t.rows_per_sec(rows), 1),
     )
     if xbytes is not None:
-        summary["collective_bytes_per_sweep"] = int(xbytes["per_sweep_total"])
+        summary["collective_bytes_per_sweep"] = int(
+            xbytes.get("per_sweep_with_sse", xbytes["per_sweep_total"]))
+        summary["collective_bytes_sweep_only"] = int(
+            xbytes["per_sweep_total"])
     if test is not None and hasattr(model, "rmse"):
         summary["test_rmse"] = float(model.rmse(test))
     if test is not None and hasattr(model, "recommend") and args.model == "als":
@@ -206,11 +213,19 @@ def main(argv: Optional[list] = None) -> int:
             grouped_by_user, ndcg_at_k, recall_at_k, take_groups)
         tu, ti = test.nonzero()
         rel_indptr, rel_items = grouped_by_user(tu, ti, n_users)
-        eval_users = np.flatnonzero(np.diff(rel_indptr) > 0)[:50_000]
+        holdout_users = np.flatnonzero(np.diff(rel_indptr) > 0)
+        eval_users = holdout_users[:50_000]
+        if eval_users.shape[0] < holdout_users.shape[0] and args.verbose:
+            # no silent caps: say when ranking metrics cover a user SAMPLE
+            print(f"[train] recall/ndcg evaluated on the first "
+                  f"{eval_users.shape[0]} of {holdout_users.shape[0]} "
+                  f"holdout users")
         rel_eval = take_groups(rel_indptr, rel_items, eval_users)
         _, topk = model.recommend(eval_users, n=10, exclude_seen=True)
         summary["recall_at_10"] = round(float(recall_at_k(topk, rel_eval)), 4)
         summary["ndcg_at_10"] = round(float(ndcg_at_k(topk, rel_eval)), 4)
+        summary["eval_users"] = int(eval_users.shape[0])
+        summary["holdout_users"] = int(holdout_users.shape[0])
     metrics.log(len(model.history_), **summary)
     metrics.close()
     if args.verbose:
