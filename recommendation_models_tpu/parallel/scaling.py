@@ -88,4 +88,42 @@ def project_scaling(
             for s in shard_counts]
 
 
-__all__ = ["LinkSpec", "sweep_time_model", "project_scaling"]
+def choose_topology(
+    n_rows: int,
+    n_cols: int,
+    rank: int,
+    n_shards: int,
+    num_slices: int,
+    links: LinkSpec = LinkSpec(),
+) -> Dict[str, float]:
+    """Per-device DCN bytes per half-sweep of the two multislice ALS
+    topologies, and which one to pick (SURVEY.md N6):
+
+    * '1d' — slice-major 1-D mesh (parallel.mesh.get_mesh): rows split over
+      ALL devices, opposite table hierarchically all-gathered; each slice's
+      devices share (D-1)/D of the table over the slice's NICs.
+    * '2d' — observation-parallel hybrid mesh (parallel.hybrid_als): rows
+      split WITHIN a slice, observations split across slices, per-row
+      normal equations psum'd over DCN.
+
+    The 2-D form wins only when per-row gram bytes (rows_local * k^2)
+    undercut the table share — i.e. few rows x huge degrees (the
+    long-context analog). On MovieLens shapes 1-D wins by ~2 orders of
+    magnitude (tests/test_mesh_hybrid.py pins both regimes).
+    """
+    D, S = num_slices, n_shards
+    if D <= 1:
+        return dict(dcn_1d=0.0, dcn_2d=0.0, pick="1d")
+    k = rank
+    per_slice = max(1, S // D)
+    # 1-D: the opposite table's slice share, striped over the slice devices
+    dcn_1d = (D - 1) / D * n_cols * k * 4 / per_slice
+    # 2-D: ring psum of this device's row-shard normal equations
+    rows_local = -(-n_rows // per_slice)
+    dcn_2d = 2 * (D - 1) / D * rows_local * (k * k + k) * 4
+    return dict(dcn_1d=dcn_1d, dcn_2d=dcn_2d,
+                pick="2d" if dcn_2d < dcn_1d else "1d")
+
+
+__all__ = ["LinkSpec", "sweep_time_model", "project_scaling",
+           "choose_topology"]

@@ -2,6 +2,7 @@
 (SURVEY.md §2.2 N6, §5 comm row; VERDICT r1 missing item 5)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -47,6 +48,116 @@ def test_hybrid_mesh_validates_divisibility(cpu_mesh):
     import pytest
     with pytest.raises(ValueError):
         get_hybrid_mesh(8, num_slices=3, platform="cpu")
+
+
+def _hybrid_problem(seed=21):
+    import scipy.sparse as sp
+    from recommendation_models_tpu.data.synthetic import synthetic_ratings
+    n_users, n_items = 96, 80
+    users, items, ratings = synthetic_ratings(n_users, n_items, 2400,
+                                              rank=5, seed=seed)
+    R = sp.csr_matrix((ratings, (users, items)), shape=(n_users, n_items))
+    return R, n_users, n_items
+
+
+def _hybrid_fit(R, n_users, n_items, cfg, D, S, sweeps, U0, V0):
+    from recommendation_models_tpu.config import DataConfig
+    from recommendation_models_tpu.data.layout import (build_layout,
+                                                       csr_arrays,
+                                                       shard_layout)
+    from recommendation_models_tpu.parallel.hybrid_als import HybridALSProgram
+
+    indptr, indices, data, _, _ = csr_arrays(R)
+    dcfg = DataConfig(dense_whales=False, hot_cols=0)
+    ul = build_layout(indptr, indices, data, n_users, n_items, dcfg)
+    rows = np.repeat(np.arange(n_users), np.diff(indptr))
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    il = layout_from_coo(rows, indices, data, n_users, n_items, dcfg,
+                         transpose=True)
+    mesh = get_hybrid_mesh(D * S, num_slices=D, platform="cpu")
+    prog = HybridALSProgram(shard_layout(ul, S), shard_layout(il, S),
+                            mesh, cfg)
+    U, V = prog.place_factors(U0, V0)
+    for _ in range(sweeps):
+        U, V = prog.sweep(U, V)
+    sse = float(prog.train_sse(U, V))
+    return (np.asarray(U)[:n_users], np.asarray(V)[:n_items], sse, prog)
+
+
+@pytest.mark.parametrize("alpha", [None, 1.5])
+def test_hybrid_2d_fit_matches_single_device(cpu_mesh, alpha):
+    """A FULL ALS fit executes on the 2-D (dcn, data) mesh — observations
+    split across slices, rows sharded within — and matches the single-device
+    result (VERDICT r2 missing item 3 / SURVEY.md N6)."""
+    from recommendation_models_tpu.config import SolveConfig
+    from recommendation_models_tpu.solver.als_sweep import (device_buckets,
+                                                            make_sweep_fns)
+    from recommendation_models_tpu.data.layout import (build_layout,
+                                                       csr_arrays)
+    from recommendation_models_tpu.config import DataConfig
+
+    R, n_users, n_items = _hybrid_problem()
+    cfg = SolveConfig(rank=5, reg=0.2, alpha=alpha)
+    rng = np.random.default_rng(3)
+    U0 = 0.05 * rng.standard_normal((n_users, 5)).astype(np.float32)
+    V0 = 0.05 * rng.standard_normal((n_items, 5)).astype(np.float32)
+
+    # single-device reference (same layout flavor)
+    indptr, indices, data, _, _ = csr_arrays(R)
+    dcfg = DataConfig(dense_whales=False, hot_cols=0)
+    ul = build_layout(indptr, indices, data, n_users, n_items, dcfg)
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    rows = np.repeat(np.arange(n_users), np.diff(indptr))
+    il = layout_from_coo(rows, indices, data, n_users, n_items, dcfg,
+                         transpose=True)
+    sweep, train_sse = make_sweep_fns(device_buckets(ul), device_buckets(il),
+                                      n_users, n_items, cfg)
+    U = jnp.asarray(U0)
+    V = jnp.asarray(V0)
+    for _ in range(2):
+        U, V = sweep(U, V)
+    sse_ref = float(train_sse(U, V))
+
+    U2, V2, sse2, prog = _hybrid_fit(R, n_users, n_items, cfg, D=2, S=4,
+                                     sweeps=2, U0=U0, V0=V0)
+    np.testing.assert_allclose(U2, np.asarray(U), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(V2, np.asarray(V), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(sse2, sse_ref, rtol=1e-4)
+    b = prog.collective_bytes_per_sweep()
+    assert b["dcn"] > 0 and b["ici"] > 0
+    assert b["per_sweep_with_sse"] == b["per_sweep_total"] + b["sse_extra"]
+
+
+def test_hybrid_2d_slice_count_invariance(cpu_mesh):
+    """The result must not depend on how observations split across slices:
+    (D=1,S=8) == (D=2,S=4) == (D=4,S=2)."""
+    from recommendation_models_tpu.config import SolveConfig
+
+    R, n_users, n_items = _hybrid_problem(seed=22)
+    cfg = SolveConfig(rank=4, reg=0.3)
+    rng = np.random.default_rng(5)
+    U0 = 0.05 * rng.standard_normal((n_users, 4)).astype(np.float32)
+    V0 = 0.05 * rng.standard_normal((n_items, 4)).astype(np.float32)
+    outs = [_hybrid_fit(R, n_users, n_items, cfg, D, S, 2, U0, V0)[:3]
+            for D, S in ((1, 8), (2, 4), (4, 2))]
+    for U, V, sse in outs[1:]:
+        np.testing.assert_allclose(U, outs[0][0], rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(sse, outs[0][2], rtol=1e-4)
+
+
+def test_choose_topology_regimes():
+    """The analytic DCN-byte comparison picks 1-D on MovieLens shapes and
+    2-D only in the few-rows x huge-degree regime (docs/DESIGN.md)."""
+    from recommendation_models_tpu.parallel.scaling import choose_topology
+    # ML-25M rank-64, 2 slices of 8: table share ~ MBs, gram psum ~ GBs
+    r = choose_topology(162_541, 62_423, 64, 16, 2)
+    assert r["pick"] == "1d" and r["dcn_2d"] > 50 * r["dcn_1d"]
+    # 1k rows x 10M-wide catalog (degree >> k): gram psum undercuts the
+    # table share
+    r2 = choose_topology(1_000, 10_000_000, 64, 16, 2)
+    assert r2["pick"] == "2d"
+    # single slice: no DCN either way
+    assert choose_topology(10, 10, 8, 8, 1)["pick"] == "1d"
 
 
 def test_scaling_model_basics():
