@@ -153,10 +153,14 @@ def gather_budget_for_rank(rank: int) -> int:
     grow k^2 while gather bytes grow k, so at high rank the solve is long
     enough to hide gathers WITHOUT small blocks and the scan overhead
     dominates. Measured on v5e at ML-25M shapes (docs/PERF.md 'gather
-    budget'): k=64 epoch 0.25 s @ 8 MB vs 0.34 @ 256; k=128 inverts to
-    0.545 @ 256 vs 0.614 @ 8 (24/64 MB in between are worse than either
-    end: 0.620/0.660). synth100m k=64 confirms 8 MB (0.92 vs 1.65 s)."""
-    return 8 if rank <= 64 else 256
+    budget'): k=64 epoch 0.25 s @ 8 MB vs 0.34 @ 256; k=128 inverts and
+    keeps improving as the scan disappears: 0.614 @ 8, 0.545 @ 256,
+    0.532 @ 512, 0.507 @ 4096 (which leaves every ML-25M bucket unsplit —
+    the row-block scan's per-step overhead is pure loss at high rank; 4096
+    still CAPS the gathered temp at 4 GB for 100M-scale buckets). 24/64 MB
+    sit between the regimes and are worse than either end (0.620/0.660).
+    synth100m k=64 confirms 8 MB (0.92 vs 1.65 s)."""
+    return 8 if rank <= 64 else 4096
 
 
 def dense_min_degree_for_rank(rank: int, max_bucket: int = 4096) -> int:

@@ -39,8 +39,16 @@ def block_batch(k: int) -> int:
     Callers that pre-pad their batch to this multiple skip a whole-array
     pad+copy in the wrapper.
 
-    Above k=160 the full-lane block no longer fits (at k=256, scratch +
-    double-buffered input would be ~100 MB): shrink the lane dim so
+    At k in (64, 160] the block is 256 (two 128-lane vregs wide): the
+    factorization is vreg-op-throughput-bound, so lanes-per-pass don't
+    change total vector work, but each serial pass carries fixed
+    scalar-side cost (loop control, ds slicing, mask iotas) that a wider
+    block amortizes over twice the systems — measured at k=128 on v5e:
+    26.5 ms vs 33.4 ms per 32k systems (-21% isolated; see docs/PERF.md
+    for the whole-epoch number). VMEM at k=160/bt=256 is ~79 MB
+    (double-buffered input + scratch), inside the 100 MB limit.
+
+    Above k=160 the wide block no longer fits: shrink the lane dim so
     3 * k^2 * bt * 4B stays under ~40 MB. A sub-128 lane block is only a
     legal Mosaic operand when it spans the WHOLE batch (single-block
     grid) — multi-block large-k solves must take the XLA path; see
@@ -51,7 +59,7 @@ def block_batch(k: int) -> int:
     if kp <= 64:
         return 256
     if kp <= 160:
-        return 128
+        return 256
     return max(8, (40 * 1024 * 1024 // (3 * kp * kp * 4)) // 8 * 8)
 
 
@@ -73,7 +81,10 @@ def pallas_supported(k: int, b: int, two_operand: bool = False) -> bool:
     bt = block_batch(kp)
     if two_operand:
         bt = max(bt // 2, 8)
-    if 3 * kp * kp * bt * 4 > 40 * 1024 * 1024:
+    # kp <= 160 blocks are hand-sized against the real VMEM limit (see
+    # block_batch); the budget guard only polices the formula branch,
+    # whose 8-wide floor can exceed the 40 MB target past k~660.
+    if kp > 160 and 3 * kp * kp * bt * 4 > 40 * 1024 * 1024:
         return False
     return bt >= 128 or b <= bt
 

@@ -90,8 +90,10 @@ def main():
                              transpose=True, config=dcfg)
         save_layout(up, ul)
         save_layout(ip, il)
+    gmb = os.environ.get("ABL_GATHER_MB")
     cfg = SolveConfig(rank=rank, reg=0.1, solver="auto",
-                      compute_dtype="auto")
+                      compute_dtype="auto",
+                      **({"gather_budget_mb": int(gmb)} if gmb else {}))
     ub = device_buckets(ul, block_batch(rank))
     ib = device_buckets(il, block_batch(rank))
 

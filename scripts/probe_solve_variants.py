@@ -7,7 +7,9 @@ same device.  Used to evaluate the rank-128 'solve wall' frontier
 (docs/PERF.md): the two-level Schur body vs the default rank-2 pair body.
 
 Env: PSV_K (default 128), PSV_B (65536), PSV_ITERS (10),
-PSV_VARIANTS (comma list of pair,schur,rank1,panel; default pair,schur).
+PSV_VARIANTS (comma list of pair,schur,rank1,panel; default pair,schur),
+PSV_BT (override the kernel batch block — e.g. 256 to halve the number of
+grid blocks and amortize per-pass scalar overhead over more lanes).
 """
 
 from __future__ import annotations
@@ -45,7 +47,18 @@ def main() -> int:
     n_iters = int(os.environ.get("PSV_ITERS", "10"))
     variants = os.environ.get("PSV_VARIANTS", "pair,schur").split(",")
     interpret = _use_interpret()
-    bt = block_batch(k)
+    bt_override = os.environ.get("PSV_BT")
+    if bt_override:
+        import recommendation_models_tpu.ops.pallas.cholesky as _ch
+        kp = -(-k // 8) * 8
+        _orig_bb = _ch.block_batch
+
+        def _bb(kk, _o=_orig_bb, _kp=kp, _bt=int(bt_override)):
+            return _bt if -(-kk // 8) * 8 == _kp else _o(kk)
+
+        _ch.block_batch = _bb
+        _ch._block_batch = _bb
+    bt = block_batch(k) if not bt_override else int(bt_override)
     b = -(-b // bt) * bt
     print(f"# k={k} B={b} bt={bt} iters={n_iters} "
           f"interpret={interpret} device={jax.devices()[0].device_kind}")

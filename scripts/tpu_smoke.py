@@ -78,6 +78,21 @@ def main() -> int:
               f"|dV|={dv:.2e}; 4-sweep rel|drmse|={dh:.2e}")
         failures += 0 if ok else 1
 
+    # rank 128: exercises the k>64 kernel blocks (bt=256 as of round 3)
+    # on the compiled Mosaic path — CI only runs them in interpret mode
+    rng = np.random.default_rng(1)
+    U0w = 0.05 * rng.standard_normal((1200, 128)).astype(np.float32)
+    V0w = 0.05 * rng.standard_normal((900, 128)).astype(np.float32)
+    kw = dict(rank=128, reg=0.3, seed=0, compute_dtype="float32")
+    a = ALS(solver="xla", n_sweeps=1, **kw).fit(R, U0=U0w, V0=V0w)
+    p = ALS(solver="pallas", n_sweeps=1, **kw).fit(R, U0=U0w, V0=V0w)
+    du = float(np.abs(p.U_ - a.U_).max())
+    dh = abs(p.history_[-1] - a.history_[-1]) / max(a.history_[-1], 1e-9)
+    ok = du < 2e-2 and dh < 5e-3 and np.isfinite(p.U_).all()
+    print(f"{'OK ' if ok else 'FAIL'} rank=128 (bt=256 blocks): "
+          f"|dU|={du:.2e} rel|drmse|={dh:.2e}")
+    failures += 0 if ok else 1
+
     # bf16 compute path: finite + quality in the same ballpark as f32
     f32 = ALS(solver="pallas", rank=16, reg=0.3, n_sweeps=3, seed=0,
               compute_dtype="float32").fit(R, U0=U0, V0=V0)

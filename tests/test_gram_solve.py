@@ -232,9 +232,10 @@ def test_row_blocked_accumulation_matches_unblocked(rng):
     layout = layout_from_coo(rows, cols, vals, n_users, n_items)
     ub = device_buckets(layout)
     V = jnp.asarray(rng.standard_normal((n_items, k)), jnp.float32)
-    big = SolveConfig(rank=k, reg=0.1, solver="xla", compute_dtype="float32")
-    # gather_budget_mb=0 forces bb=8 -> every bucket takes the scan branch
-    tiny = dataclasses.replace(big, gather_budget_mb=0)
+    big = SolveConfig(rank=k, reg=0.1, solver="xla", compute_dtype="float32",
+                      gather_budget_mb=1024)      # every bucket one block
+    # a 1 MB budget forces small row blocks -> the scan branch runs
+    tiny = dataclasses.replace(big, gather_budget_mb=1)
     np.testing.assert_allclose(
         np.asarray(half_sweep(V, ub, n_users, big)),
         np.asarray(half_sweep(V, ub, n_users, tiny)),
@@ -269,16 +270,19 @@ def test_pallas_supported_guards():
     from recommendation_models_tpu.ops.pallas.cholesky import (
         block_batch, pallas_supported)
 
-    # single-operand behavior unchanged: full-lane blocks multi-block fine
+    # full-lane blocks: multi-block grids fine at any batch
     assert pallas_supported(64, 100_000)
     assert pallas_supported(160, 100_000)
     assert pallas_supported(192, block_batch(192))
     assert not pallas_supported(192, block_batch(192) + 8)
-    # 2-operand path: block halves, so k=128 multi-block is sub-128-lane
+    # 2-operand path halves the block. At k<=160 the halved block is still
+    # >= 128 lanes (block_batch 256) -> multi-block stays legal; at k>160
+    # the halved sub-128-lane block must span the whole batch.
     assert pallas_supported(64, 100_000, two_operand=True)   # 256//2=128 ok
-    b128 = block_batch(128)
-    assert pallas_supported(128, b128 // 2, two_operand=True)
-    assert not pallas_supported(128, b128, two_operand=True)
+    assert pallas_supported(128, 100_000, two_operand=True)  # 256//2=128 ok
+    b192 = block_batch(192)
+    assert pallas_supported(192, b192 // 2, two_operand=True)
+    assert not pallas_supported(192, b192, two_operand=True)
     # extreme k: the 8-wide floor exceeds the ~40 MB VMEM target -> False
     # even for tiny batches (route to XLA instead of a Mosaic blowup)
     assert not pallas_supported(1048, 8)
@@ -286,15 +290,17 @@ def test_pallas_supported_guards():
 
 
 def test_solve_spd_t_two_operand_multiblock_falls_back(rng):
-    """A k=128 Gt2 solve with b > block/2 must take the XLA fallback (the
-    halved 64-lane block would compile an illegal multi-block Mosaic grid)
-    and still return correct answers."""
+    """A k=192 Gt2 solve with b > halved-block must take the XLA fallback
+    (the halved sub-128-lane block would compile an illegal multi-block
+    Mosaic grid) and still return correct answers. (At k<=160 the halved
+    block stays 128-lane-wide, so the 2-operand multi-block case is legal
+    there — see pallas_supported.)"""
     import jax.numpy as jnp
     from recommendation_models_tpu.ops.pallas.cholesky import block_batch
     from recommendation_models_tpu.ops.solve import solve_spd_t
 
-    k = 128
-    b = block_batch(k)           # 128: > halved block 64 -> fallback
+    k = 192
+    b = block_batch(k)           # > halved block -> fallback
     A = rng.standard_normal((b, k, k)).astype(np.float32) / np.sqrt(k)
     G1 = np.einsum("bij,bkj->bik", A, A) + 0.3 * np.eye(k, dtype=np.float32)
     B2 = rng.standard_normal((b, k, k)).astype(np.float32) / np.sqrt(k)
