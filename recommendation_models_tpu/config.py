@@ -145,7 +145,7 @@ class DataConfig:
     layout_cache: Optional[str] = None
 
 
-def gather_budget_for_rank(rank: int) -> int:
+def gather_budget_for_rank(rank: int, nnz: Optional[int] = None) -> int:
     """Rank-aware row-block gather budget (MB), SolveConfig auto policy.
 
     Small blocks pipeline (XLA overlaps a block's gathers with the previous
@@ -156,11 +156,21 @@ def gather_budget_for_rank(rank: int) -> int:
     budget'): k=64 epoch 0.25 s @ 8 MB vs 0.34 @ 256; k=128 inverts and
     keeps improving as the scan disappears: 0.614 @ 8, 0.545 @ 256,
     0.532 @ 512, 0.507 @ 4096 (which leaves every ML-25M bucket unsplit —
-    the row-block scan's per-step overhead is pure loss at high rank; 4096
-    still CAPS the gathered temp at 4 GB for 100M-scale buckets). 24/64 MB
-    sit between the regimes and are worse than either end (0.620/0.660).
-    synth100m k=64 confirms 8 MB (0.92 vs 1.65 s)."""
-    return 8 if rank <= 64 else 4096
+    the row-block scan's per-step overhead is pure loss at high rank).
+    24/64 MB sit between the regimes and are worse than either end
+    (0.620/0.660). synth100m k=64 confirms 8 MB (0.92 vs 1.65 s).
+
+    ``nnz`` gates the unsplit mode by problem size: at 100M-interaction
+    scale the coexisting multi-GB gathered temps of unsplit buckets
+    exceeded a v5e's HBM (measured: 17.4 G needed vs 15.75 G at synth100m
+    rank-128), so k>64 problems beyond ~40M observations keep the bounded
+    256 MB scan. Estimator entry points pass the real nnz; ``None``
+    assumes the (measured) ML-25M class."""
+    if rank <= 64:
+        return 8
+    if nnz is not None and nnz > 40_000_000:
+        return 256
+    return 4096
 
 
 def dense_min_degree_for_rank(rank: int, max_bucket: int = 4096) -> int:

@@ -244,6 +244,16 @@ class ALS(BaseEstimator):
         self._train_indptr, self._train_indices = indptr, indices
         dcfg, scfg = self._data_config(), self._solve_config()
         nnz = indices.shape[0]
+        if not scfg.gather_budget_mb:
+            # resolve the auto budget HERE, where nnz is known: the
+            # unsplit (4096 MB) k>64 mode is gated by problem size
+            # (config.gather_budget_for_rank — 100M-scale OOMs otherwise)
+            import dataclasses as _dc
+            from recommendation_models_tpu.config import (
+                gather_budget_for_rank)
+            scfg = _dc.replace(
+                scfg,
+                gather_budget_mb=gather_budget_for_rank(self.rank, nnz))
 
         n_shards = self.n_shards
         if n_shards is not None and n_shards > 1:

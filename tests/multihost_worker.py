@@ -96,6 +96,36 @@ R = np.where(mask, rng.uniform(1, 5, mask.shape), 0.0).astype(np.float32)
 indptr, indices, data, _, _ = csr_arrays(R)
 rows = np.repeat(np.arange(n_users), np.diff(indptr))
 
+if model_kind == "hybrid2d":
+    # observation-parallel 2-D program across the process (DCN) boundary:
+    # each process is one virtual slice; make_array_from_callback places
+    # only addressable shards, so this is the real multi-host path.
+    from recommendation_models_tpu.config import DataConfig
+    from recommendation_models_tpu.parallel.hybrid_als import (
+        HybridALSProgram)
+    from recommendation_models_tpu.parallel.mesh import get_hybrid_mesh
+
+    dcfg = DataConfig(dense_whales=False, hot_cols=0)
+    S = jax.device_count() // num_procs          # shards per slice
+    mesh = get_hybrid_mesh(jax.device_count(), num_slices=num_procs)
+    cfg = SolveConfig(rank=rank, reg=0.2, solver="xla",
+                      compute_dtype="float32")
+    prog = HybridALSProgram(
+        shard_layout(build_layout(indptr, indices, data, n_users, n_items,
+                                  config=dcfg), S),
+        shard_layout(layout_from_coo(rows, indices, data, n_users, n_items,
+                                     transpose=True, config=dcfg), S),
+        mesh, cfg)
+    U, V = prog.init_factors(seed=3, init_scale=0.1)
+    for _ in range(n_sweeps):
+        U, V = prog.sweep(U, V)
+    sse = float(prog.train_sse(U, V))
+    Uh, Vh = to_host(U)[:n_users], to_host(V)[:n_items]
+    if proc_id == 0:
+        np.savez(os.path.join(outdir, "result.npz"), U=Uh, V=Vh, sse=sse)
+    print(f"proc {proc_id} done sse={sse:.6f}", flush=True)
+    sys.exit(0)
+
 n_shards = jax.device_count()
 mesh = get_mesh(n_shards)
 cfg = SolveConfig(rank=rank, reg=0.2, solver="xla")

@@ -143,6 +143,21 @@ def test_two_process_compact_exchange(tmp_path, exchange):
     np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
 
 
+def test_hybrid2d_two_process_fit_matches_single(tmp_path,
+                                                 single_process_reference):
+    """The observation-parallel 2-D program across a REAL process (DCN)
+    boundary: 2 processes = 2 slices of 4 shards, gram psum over 'dcn'
+    crossing processes. Must match the 1-proc 8-shard 1-D result (same
+    deterministic problem/init as the other workers — slice decomposition
+    must not change the answer)."""
+    _run_all(tmp_path, extra=("--model", "hybrid2d"))
+    res = np.load(tmp_path / "result.npz")
+    ref = single_process_reference
+    np.testing.assert_allclose(res["U"], ref["U"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["V"], ref["V"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
+
+
 @pytest.fixture(scope="module")
 def imc_single_reference(tmp_path_factory):
     """IMC: same problem fit in ONE process on an 8-device mesh."""
