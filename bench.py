@@ -315,12 +315,12 @@ def main() -> None:
     # BENCH_GATHER_MB overrides SolveConfig.gather_budget_mb (the row-block
     # scan-pipelining lever; see docs/PERF.md "gather budget")
     gmb = os.environ.get("BENCH_GATHER_MB")
-    from recommendation_models_tpu.config import gather_budget_for_rank
+    # 0 = auto: the solver resolves against the actual padded bucket volume
+    # (rank- and size-gated, solver.als_sweep.resolve_gather_budget)
     cfg = SolveConfig(rank=rank, reg=0.1, solver=solver,
                       alpha=float(alpha) if alpha else None,
                       compute_dtype=compute_dtype,
-                      gather_budget_mb=(int(gmb) if gmb else
-                                        gather_budget_for_rank(rank, nnz)))
+                      **({"gather_budget_mb": int(gmb)} if gmb else {}))
     ub = device_buckets(user_layout, block_batch(rank))
     ib = device_buckets(item_layout, block_batch(rank))
     # The whole timed region is ONE device program (lax.scan over sweeps,

@@ -164,8 +164,9 @@ def gather_budget_for_rank(rank: int, nnz: Optional[int] = None) -> int:
     scale the coexisting multi-GB gathered temps of unsplit buckets
     exceeded a v5e's HBM (measured: 17.4 G needed vs 15.75 G at synth100m
     rank-128), so k>64 problems beyond ~40M observations keep the bounded
-    256 MB scan. Estimator entry points pass the real nnz; ``None``
-    assumes the (measured) ML-25M class."""
+    256 MB scan. ``solver.als_sweep.resolve_gather_budget`` — the single
+    resolution point every consumer goes through — passes its actual
+    padded bucket volume; ``None`` assumes the (measured) ML-25M class."""
     if rank <= 64:
         return 8
     if nnz is not None and nnz > 40_000_000:

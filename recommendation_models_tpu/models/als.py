@@ -48,6 +48,7 @@ class ALS(BaseEstimator):
         reg_by_degree: bool = False,
         solver: str = "auto",
         chunk: int = 512,
+        gather_budget_mb: int = 0,
         compute_dtype: str = "auto",
         n_shards: Optional[int] = None,
         num_slices: Optional[int] = None,
@@ -73,6 +74,7 @@ class ALS(BaseEstimator):
         self.reg_by_degree = reg_by_degree
         self.solver = solver
         self.chunk = chunk
+        self.gather_budget_mb = gather_budget_mb
         self.compute_dtype = compute_dtype
         self.n_shards = n_shards
         self.num_slices = num_slices
@@ -139,7 +141,8 @@ class ALS(BaseEstimator):
         return cls(
             rank=solve.rank, reg=solve.reg, alpha=solve.alpha,
             reg_by_degree=solve.reg_by_degree, solver=solve.solver,
-            chunk=solve.chunk, compute_dtype=solve.compute_dtype,
+            chunk=solve.chunk, gather_budget_mb=solve.gather_budget_mb,
+            compute_dtype=solve.compute_dtype,
             n_shards=mesh.n_shards, num_slices=mesh.num_slices,
             exchange=mesh.exchange, exchange_head=mesh.exchange_head,
             platform=mesh.platform,
@@ -160,6 +163,7 @@ class ALS(BaseEstimator):
         return SolveConfig(
             rank=self.rank, reg=self.reg, reg_by_degree=self.reg_by_degree,
             alpha=self.alpha, chunk=self.chunk, solver=self.solver,
+            gather_budget_mb=self.gather_budget_mb,
             compute_dtype=self.compute_dtype,
         )
 
@@ -244,16 +248,9 @@ class ALS(BaseEstimator):
         self._train_indptr, self._train_indices = indptr, indices
         dcfg, scfg = self._data_config(), self._solve_config()
         nnz = indices.shape[0]
-        if not scfg.gather_budget_mb:
-            # resolve the auto budget HERE, where nnz is known: the
-            # unsplit (4096 MB) k>64 mode is gated by problem size
-            # (config.gather_budget_for_rank — 100M-scale OOMs otherwise)
-            import dataclasses as _dc
-            from recommendation_models_tpu.config import (
-                gather_budget_for_rank)
-            scfg = _dc.replace(
-                scfg,
-                gather_budget_mb=gather_budget_for_rank(self.rank, nnz))
+        # the auto (0) gather budget resolves inside the solver against the
+        # actual padded bucket volume (solver.als_sweep.resolve_gather_budget
+        # — rank- AND size-gated; the unsplit k>64 mode OOMs at 100M scale)
 
         n_shards = self.n_shards
         if n_shards is not None and n_shards > 1:

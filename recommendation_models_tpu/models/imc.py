@@ -204,7 +204,12 @@ class IMC(BaseEstimator):
         if prefix:
             from recommendation_models_tpu.data.layout_cache import (
                 data_fingerprint)
-            tag += "." + data_fingerprint(users, items, ratings)
+            # table sizes come from X/Y row counts, NOT from the triplets
+            # (ALS hashes indptr, whose length encodes n_users) — include
+            # them or resized feature tables silently reuse stale layouts
+            tag += "." + data_fingerprint(
+                users, items, ratings,
+                np.asarray([n_users, n_items], np.int64))
         return (cached_layout(f"{prefix}{tag}.user.npz" if prefix else None,
                               build_user),
                 cached_layout(f"{prefix}{tag}.item.npz" if prefix else None,
@@ -476,6 +481,12 @@ class IMC(BaseEstimator):
         self._check_fitted()
         from recommendation_models_tpu.ops.topk import (
             grouped_exclusion_topk, topk_scores)
+        if (X is None and not hasattr(self, "_X")) or (
+                Y is None and not hasattr(self, "_Y")):
+            raise RuntimeError(
+                "recommend() needs feature matrices: this estimator was "
+                "resumed from a checkpoint without training features — "
+                "pass X and Y explicitly (or call fit())")
         X = self._X if X is None else np.asarray(X, np.float32)
         fresh_Y = Y is not None
         Y = self._Y if Y is None else np.asarray(Y, np.float32)
@@ -497,10 +508,20 @@ class IMC(BaseEstimator):
             return topk_scores(Uq, Veff, kk, excl, method=method,
                                recall_target=recall_target)
 
+        if exclude_seen and not hasattr(self, "_train_indptr"):
+            # mirror ALS.recommend: a resumed-from-checkpoint estimator has
+            # factors but no training observation lists — serving silently
+            # WITH seen items would break the reference top_n contract
+            import warnings
+            warnings.warn(
+                "recommend(exclude_seen=True) on an estimator without "
+                "training indices (e.g. resumed from a checkpoint): seen "
+                "items canNOT be excluded; serving unfiltered scores. "
+                "Call fit() to restore exclusion.", stacklevel=2)
         # fresh-X queries index a DIFFERENT user space: only exclude when
         # the ids address the training matrix
         if (exclude_seen and hasattr(self, "_train_indptr")
-                and X is self._X and user_ids.size):
+                and X is getattr(self, "_X", None) and user_ids.size):
             # degree-bucketed exclusion, shared with ALS (one whale user
             # must not drag every row's overfetch to catalog width)
             return grouped_exclusion_topk(user_ids, n, self._train_indptr,

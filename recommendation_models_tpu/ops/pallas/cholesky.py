@@ -80,7 +80,7 @@ def pallas_supported(k: int, b: int, two_operand: bool = False) -> bool:
     kp = -(-k // 8) * 8
     bt = block_batch(kp)
     if two_operand:
-        bt = max(bt // 2, 8)
+        bt = max(bt // 2 // 8 * 8, 8)   # mirrors _cholesky_solve_t
     # kp <= 160 blocks are hand-sized against the real VMEM limit (see
     # block_batch); the budget guard only polices the formula branch,
     # whose 8-wide floor can exceed the 40 MB target past k~660.
@@ -864,12 +864,14 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
     if Gt2 is not None:
         # two double-buffered (k, k, bt) operands + the factorization
         # scratch must fit the ~16 MB scoped-vmem check (the check applies
-        # even with vmem_limit_bytes raised, measured) — halve the block.
+        # even with vmem_limit_bytes raised, measured) — halve the block
+        # (8-aligned: callers pad the batch to sublane multiples, and a
+        # non-multiple-of-8 block could no longer span it exactly).
         # NOTE: this costs ~40% solve time vs one operand (k sequential
         # factorization steps per block run twice as often); the ALS sweep
         # therefore folds its hot-column gram via the gram scan's initial
         # carry instead of this operand (solver/als_sweep.py).
-        bt = max(bt // 2, 8)
+        bt = max(bt // 2 // 8 * 8, 8)
     bt = min(bt, b)
     grid = (b // bt,)
     # Inside shard_map the output must declare how it varies over mesh axes

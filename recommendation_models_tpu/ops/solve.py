@@ -128,6 +128,11 @@ def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
         if not pallas_supported(k, b, two_operand=Gt2 is not None):
             return solve_spd_t(Gt, rhst, "xla", reg_vec=reg_vec, Gt2=Gt2)
         block = block_batch(k)
+        if Gt2 is not None:
+            # the 2-operand kernel halves its batch block: pad to multiples
+            # of the EFFECTIVE block or the grid floors b//bt and systems
+            # past the first block come back uninitialized
+            block = max(block // 2 // 8 * 8, 8)
         bp = b if b <= block else -(-b // block) * block
         bp = -(-bp // 8) * 8
         if bp != b:

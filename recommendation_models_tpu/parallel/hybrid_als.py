@@ -151,6 +151,8 @@ class HybridALSProgram:
         def half(V_loc, buckets, rows_local):
             """One orientation's half-sweep on this device; the solve runs
             replicated across 'dcn' on identical psum'd systems."""
+            from recommendation_models_tpu.solver.als_sweep import (
+                resolve_gather_budget)
             k = V_loc.shape[-1]
             dtype = jnp.dtype(resolve_compute_dtype(cfg.compute_dtype))
             # opposite table: intra-slice ICI gather ('data' axis only —
@@ -159,14 +161,48 @@ class HybridALSProgram:
             G = jnp.zeros((rows_local + 1, k * k), jnp.float32)
             rhs = jnp.zeros((rows_local + 1, k), jnp.float32)
             deg = jnp.zeros((rows_local + 1,), jnp.float32)
-            for b in local(buckets):
+            lb = local(buckets)
+            budget_mb = resolve_gather_budget(cfg.gather_budget_mb, k, lb)
+            for b in lb:
                 wg, wr = objective_weights(b["values"], b["mask"], cfg.alpha)
-                g, r = gram_rhs(V_full, b["indices"], wg, wr,
-                                chunk=cfg.chunk, compute_dtype=dtype)
                 rid = b["row_ids"]
-                G = G.at[rid].add(g.reshape(g.shape[0], k * k))
-                rhs = rhs.at[rid].add(r)
-                deg = deg.at[rid].add(b["mask"].sum(-1))
+                bsz, p = b["indices"].shape
+                # gathered (rows, chunk, k) temps stay under the budget via
+                # row-block scans (the repo-wide invariant — CLAUDE.md;
+                # same scheme as solver.als_sweep.solve_all_buckets)
+                bb = max(8, budget_mb * (1 << 20)
+                         // (min(p, cfg.chunk) * k * dtype.itemsize)
+                         // 8 * 8)
+                if bsz <= bb:
+                    g, r = gram_rhs(V_full, b["indices"], wg, wr,
+                                    chunk=cfg.chunk, compute_dtype=dtype)
+                    G = G.at[rid].add(g.reshape(bsz, k * k))
+                    rhs = rhs.at[rid].add(r)
+                    deg = deg.at[rid].add(b["mask"].sum(-1))
+                    continue
+                n_bb = -(-bsz // bb)
+                pad = n_bb * bb - bsz
+                idx_s = jnp.pad(b["indices"], ((0, pad), (0, 0))
+                                ).reshape(n_bb, bb, p)
+                wg_s = jnp.pad(wg, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+                wr_s = jnp.pad(wr, ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+                msk_s = jnp.pad(b["mask"], ((0, pad), (0, 0))
+                                ).reshape(n_bb, bb, p)
+                rid_s = jnp.pad(rid, (0, pad), constant_values=rows_local
+                                ).reshape(n_bb, bb)
+
+                def body(carry, xs):
+                    G, rhs, deg = carry
+                    rid_b, idx_b, wg_b, wr_b, msk_b = xs
+                    g, r = gram_rhs(V_full, idx_b, wg_b, wr_b,
+                                    chunk=cfg.chunk, compute_dtype=dtype)
+                    G = G.at[rid_b].add(g.reshape(bb, k * k))
+                    rhs = rhs.at[rid_b].add(r)
+                    deg = deg.at[rid_b].add(msk_b.sum(-1))
+                    return (G, rhs, deg), None
+
+                (G, rhs, deg), _ = jax.lax.scan(
+                    body, (G, rhs, deg), (rid_s, idx_s, wg_s, wr_s, msk_s))
             # THE one DCN collective: per-row normal equations, not tables
             G = jax.lax.psum(G, dcn)
             rhs = jax.lax.psum(rhs, dcn)
@@ -195,7 +231,7 @@ class HybridALSProgram:
             from recommendation_models_tpu.solver.als_sweep import masked_sse
             V_full = jax.lax.all_gather(V_loc, data, axis=0, tiled=True)
             s = masked_sse(U_loc, V_full, local(ub), chunk=cfg.chunk,
-                           gather_budget_mb=cfg.gather_budget)
+                           gather_budget_mb=cfg.gather_budget_mb)
             # observations partition uniquely over (dcn, data): the double
             # psum is the global residual
             return jax.lax.psum(jax.lax.psum(s, data), dcn)
@@ -256,7 +292,10 @@ class HybridALSProgram:
         dcn = 0
         if D > 1:
             rows = self.upr + self.ipr
-            dcn = int(2 * (D - 1) / D * rows * (k * k + k + 1) * 4)
+            # G (k^2) + rhs (k) per row; the degree vector (+1) is only
+            # psum'd under reg_by_degree
+            per_row = k * k + k + (1 if self.cfg.reg_by_degree else 0)
+            dcn = int(2 * (D - 1) / D * rows * per_row * 4)
         out = dict(ici=ici, dcn=dcn, per_sweep_total=ici + dcn)
         out["sse_extra"] = (S - 1) * self.ipr * k * 4
         out["per_sweep_with_sse"] = out["per_sweep_total"] + out["sse_extra"]

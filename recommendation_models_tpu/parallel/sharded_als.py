@@ -119,7 +119,7 @@ def _local_sse(U_loc, V_src, buckets, cfg: SolveConfig):
     from recommendation_models_tpu.solver.als_sweep import masked_sse
 
     return masked_sse(U_loc, V_src, _local_buckets(buckets), chunk=cfg.chunk,
-                      gather_budget_mb=cfg.gather_budget)
+                      gather_budget_mb=cfg.gather_budget_mb)
 
 
 class ShardedALSProgram:

@@ -91,6 +91,21 @@ def device_buckets(layout: PaddedLayout,
     return tuple(out)
 
 
+def resolve_gather_budget(budget_mb: int, k: int, buckets) -> int:
+    """The ONE resolution point for the auto (0) gather budget: rank- and
+    problem-size-aware (config.gather_budget_for_rank), with the size taken
+    from the actual padded bucket volume this consumer will gather — the
+    unsplit k>64 mode OOMs HBM at 100M-interaction scale (measured), so it
+    is gated by size, and every consumer (single-device, sharded, hybrid,
+    sse) resolves HERE rather than each entry point re-implementing the
+    gate."""
+    if budget_mb:
+        return budget_mb
+    from recommendation_models_tpu.config import gather_budget_for_rank
+    total = sum(int(b["indices"].size) for b in buckets if "indices" in b)
+    return gather_budget_for_rank(k, total)
+
+
 def _split_special(buckets):
     """Separate the dense-whale block and the hot-column id entry (if any)
     from the gather buckets."""
@@ -162,6 +177,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
     from recommendation_models_tpu.ops.pallas.cholesky import block_batch
     block = block_batch(k)
     buckets, dense, hot_ids = _split_special(buckets)
+    budget_mb = resolve_gather_budget(cfg.gather_budget_mb, k, buckets)
     # Hot-column block (layout.py): each bucket's hot gram/rhs contributions
     # are (k*k, C) x (C, bt) MXU dots computed INSIDE the fused solve kernel
     # (ops.solve.solve_spd_t_hot) from the raw (C, B) slab and the hot
@@ -221,7 +237,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         # big bucket's (k, k, bb) normal equations exist one block at a
         # time — the full (B, k^2) G is never materialized. bb is a
         # multiple of the solve kernel's batch block.
-        bb = max(block, (cfg.gather_budget * (1 << 20))
+        bb = max(block, (budget_mb * (1 << 20))
                  // (p * k * dtype.itemsize) // block * block)
 
         def solve_block(idx_b, wg_b, wr_b, reg_b, hv_b=None):
@@ -350,10 +366,8 @@ def masked_sse(
     (config.gather_budget_for_rank), same as the solve path.
     """
     k = V.shape[-1]
-    if not gather_budget_mb:
-        from recommendation_models_tpu.config import gather_budget_for_rank
-        gather_budget_mb = gather_budget_for_rank(k)
     buckets, dense, hot_ids = _split_special(buckets)
+    gather_budget_mb = resolve_gather_budget(gather_budget_mb, k, buckets)
     hot_V = None if hot_ids is None else jnp.take(V, hot_ids, axis=0)
     total = jnp.zeros((), jnp.float32)
     if dense is not None:
@@ -465,7 +479,7 @@ def make_sweep_fns(
     @jax.jit
     def _train_sse(U, V, ub):
         return masked_sse(U, V, ub, chunk=cfg.chunk,
-                          gather_budget_mb=cfg.gather_budget)
+                          gather_budget_mb=cfg.gather_budget_mb)
 
     def sweep(U, V):
         return _sweep(U, V, user_buckets, item_buckets)
@@ -510,7 +524,7 @@ def make_scanned_fit(
         else:
             V = half_sweep(U, ib, n_items, cfg)
             sse = masked_sse(U, V, ub, chunk=cfg.chunk,
-                             gather_budget_mb=cfg.gather_budget)
+                             gather_budget_mb=cfg.gather_budget_mb)
         return U, V, sse
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

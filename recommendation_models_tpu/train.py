@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="multislice pods: slice-major device ordering "
                              "so ring collectives cross DCN only at slice "
                              "boundaries (parallel.mesh)")
+    engine.add_argument("--gather-budget-mb", type=int, default=0,
+                        help="row-block gather budget (MB); 0 = rank- and "
+                             "size-aware auto (config.gather_budget_for_rank)")
     engine.add_argument("--hot-cols", type=int, default=None,
                         help="hot-column block width; default auto "
                              "(kernel VMEM cap at this rank), 0 disables")
@@ -145,6 +148,7 @@ def main(argv: Optional[list] = None) -> int:
         model = ALS(rank=args.rank, reg=args.reg, alpha=args.alpha,
                     n_sweeps=args.n_sweeps, tol=args.tol, seed=args.seed,
                     solver=args.solver, compute_dtype=args.compute_dtype,
+                    gather_budget_mb=args.gather_budget_mb,
                     n_shards=args.n_shards, num_slices=args.num_slices,
                     exchange=args.exchange,
                     exchange_head=args.exchange_head,

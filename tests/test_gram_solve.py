@@ -280,13 +280,35 @@ def test_pallas_supported_guards():
     # the halved sub-128-lane block must span the whole batch.
     assert pallas_supported(64, 100_000, two_operand=True)   # 256//2=128 ok
     assert pallas_supported(128, 100_000, two_operand=True)  # 256//2=128 ok
-    b192 = block_batch(192)
-    assert pallas_supported(192, b192 // 2, two_operand=True)
-    assert not pallas_supported(192, b192, two_operand=True)
+    halved192 = max(block_batch(192) // 2 // 8 * 8, 8)   # 8-aligned halving
+    assert pallas_supported(192, halved192, two_operand=True)
+    assert not pallas_supported(192, halved192 + 8, two_operand=True)
     # extreme k: the 8-wide floor exceeds the ~40 MB VMEM target -> False
     # even for tiny batches (route to XLA instead of a Mosaic blowup)
     assert not pallas_supported(1048, 8)
     assert not pallas_supported(2048, 8)
+
+
+def test_solve_spd_t_two_operand_partial_block(rng):
+    """b between one and two HALVED blocks (non-multiple): the 2-operand
+    path must pad to the effective (halved) block, or the kernel grid
+    floors b//bt and systems past the first block return uninitialized
+    memory (round-3 review finding; k=8 -> block 512, halved 256)."""
+    import jax.numpy as jnp
+    from recommendation_models_tpu.ops.solve import solve_spd_t
+
+    k, b = 8, 300                      # 256 < 300 < 512, not a multiple
+    A = rng.standard_normal((b, k, k)).astype(np.float32) / np.sqrt(k)
+    G1 = np.einsum("bij,bkj->bik", A, A) + 0.3 * np.eye(k, dtype=np.float32)
+    B2 = rng.standard_normal((b, k, k)).astype(np.float32) / np.sqrt(k)
+    G2 = np.einsum("bij,bkj->bik", B2, B2) + 0.3 * np.eye(k, dtype=np.float32)
+    rhs = rng.standard_normal((b, k)).astype(np.float32)
+    x = np.asarray(solve_spd_t(jnp.asarray(G1.transpose(1, 2, 0)),
+                               jnp.asarray(rhs.T), "pallas",
+                               Gt2=jnp.asarray(G2.transpose(1, 2, 0)))).T
+    ref = np.stack([np.linalg.solve(G1[i] + G2[i], rhs[i]) for i in range(b)])
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(x, ref, atol=5e-4 * scale, rtol=5e-4)
 
 
 def test_solve_spd_t_two_operand_multiblock_falls_back(rng):

@@ -152,6 +152,41 @@ def test_imc_layout_cache_invalidated_on_different_data(imc_problem, tmp_path):
     np.testing.assert_allclose(m2.W_, ref.W_, rtol=1e-5, atol=1e-6)
 
 
+def test_imc_layout_cache_invalidated_on_resized_tables(imc_problem,
+                                                        tmp_path):
+    """Same observation triplets but GROWN feature tables (new cold-start
+    rows appended) must rebuild the layout — the fingerprint includes the
+    table sizes (round-3 review: the triplets alone don't encode them)."""
+    import glob
+    X, Y, users, items, r = imc_problem
+    prefix = str(tmp_path / "lay")
+    IMC(rank=4, n_sweeps=2, cg_iters=15, layout_cache=prefix).fit(
+        (users, items, r), X, Y)
+    n_before = len(glob.glob(prefix + "*.npz"))
+    X2 = np.vstack([X, np.zeros((5, X.shape[1]), np.float32)])
+    m2 = IMC(rank=4, n_sweeps=2, cg_iters=15, layout_cache=prefix).fit(
+        (users, items, r), X2, Y)
+    assert len(glob.glob(prefix + "*.npz")) == 2 * n_before
+    ref = IMC(rank=4, n_sweeps=2, cg_iters=15).fit((users, items, r), X2, Y)
+    np.testing.assert_allclose(m2.W_, ref.W_, rtol=1e-5, atol=1e-6)
+
+
+def test_imc_resumed_recommend_behavior(imc_problem, tmp_path):
+    """A resumed IMC (no training features/indices): recommend() raises a
+    clear error without X/Y, and with them WARNS that exclude_seen cannot
+    be honored (round-3 review: parity with the ALS warning)."""
+    import pytest as _pytest
+    X, Y, users, items, r = imc_problem
+    IMC(rank=4, n_sweeps=2, cg_iters=15, checkpoint_dir=str(tmp_path),
+        checkpoint_every=1).fit((users, items, r), X, Y)
+    m2 = IMC(rank=4, checkpoint_dir=str(tmp_path))
+    m2.resume()
+    with _pytest.raises(RuntimeError, match="feature matrices"):
+        m2.recommend([0], n=3)
+    with _pytest.warns(UserWarning, match="exclude_seen"):
+        m2.recommend([0], n=3, X=X, Y=Y, exclude_seen=True)
+
+
 def test_sharded_imc_stepwise_matches_scan(imc_problem, cpu_mesh):
     # verbose forces the per-sweep length-1 program; must equal the
     # whole-fit scan (and exercises checkpointing on the sharded path)
