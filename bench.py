@@ -260,10 +260,17 @@ def main() -> None:
     # BENCH_DMD overrides the rank-aware dense-whale threshold (a huge value
     # disables the dense block entirely)
     dmd = os.environ.get("BENCH_DMD")
+    # BENCH_GROWTH overrides the geometric bucket-size ratio (padding vs
+    # compiled-shape-count trade; default rank-aware auto —
+    # config.bucket_growth_for_rank)
+    from recommendation_models_tpu.config import bucket_growth_for_rank
+    growth = os.environ.get("BENCH_GROWTH")
     dcfg = DataConfig(hot_cols=int(hot) if hot is not None
                       else hot_cols_auto(rank),
                       dense_min_degree=(int(dmd) if dmd is not None
-                                        else dense_min_degree_for_rank(rank)))
+                                        else dense_min_degree_for_rank(rank)),
+                      bucket_growth=(float(growth) if growth else
+                                     bucket_growth_for_rank(rank)))
 
     # BENCH_LAYOUT_CACHE=<dir> caches the built layouts per (scale, layout
     # policy) — the synth100m host-side build is minutes, and perf ablations
@@ -281,7 +288,9 @@ def main() -> None:
     if cache_dir:
         from recommendation_models_tpu.data.layout_cache import cached_layout
         os.makedirs(cache_dir, exist_ok=True)
-        tag = (f"{scale}.hot{dcfg.hot_cols}.dmd{dcfg.dense_min_degree}")
+        tag = (f"{scale}.hot{dcfg.hot_cols}.dmd{dcfg.dense_min_degree}"
+               + (f".g{dcfg.bucket_growth}"
+                  if dcfg.bucket_growth != 1.25 else ""))
         built = {}
 
         def side(which):

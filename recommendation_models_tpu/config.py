@@ -91,8 +91,12 @@ class DataConfig:
     # Bucket sizes grow geometrically by this ratio (rounded to multiples of
     # 8). 2.0 = powers of two; smaller ratios trade more compiled bucket
     # shapes for less padding waste (1.25 cut ML-1M user-side waste from
-    # 17% to 11% and ML-25M user-side from 19% to ~8%).
-    bucket_growth: float = 1.25
+    # 17% to 11% and ML-25M user-side from 19% to ~8%). None = rank-aware
+    # auto via estimator entry points (bucket_growth_for_rank: the optimum
+    # is 1.12 at k<=64 — ML-25M epoch 0.216 -> 0.205 s — but 1.25 at
+    # k=128, where extra bucket shapes cost more than padding); plain
+    # layout builders resolve None to 1.25.
+    bucket_growth: Optional[float] = None
     # Whale rows (degree > max_bucket) are solved on the DENSE gramian path:
     # their ratings are stored as a dense (W, n_cols) matrix and the grams
     # come from ONE MXU matmul against an outer-product feature matrix — no
@@ -174,6 +178,19 @@ def gather_budget_for_rank(rank: int, nnz: Optional[int] = None) -> int:
     return 4096
 
 
+def bucket_growth_for_rank(rank: int) -> float:
+    """Rank-aware geometric bucket-growth ratio (DataConfig auto policy).
+
+    Finer grids cut padding waste (fewer gathered slots — the lever that
+    actually works on this workload) but add compiled bucket shapes and
+    per-bucket dispatch. Measured on v5e at ML-25M shapes (10-sweep bench):
+    k=64 epoch 0.2163 @ 1.25, 0.2072 @ 1.16, **0.205 @ 1.12** (stable x2),
+    0.2072 @ 1.09, 0.2154 @ 1.06 — a clear interior optimum; k=128 inverts
+    (0.505 @ 1.12 vs **0.484 @ 1.25**): the epoch is solve-bound there, so
+    saved gather slots buy little while extra shapes still cost."""
+    return 1.12 if rank <= 64 else 1.25
+
+
 def dense_min_degree_for_rank(rank: int, max_bucket: int = 4096) -> int:
     """Rank-aware dense-whale threshold (ALS/bench auto policy).
 
@@ -201,4 +218,5 @@ class FitConfig:
 
 
 __all__ = ["SolveConfig", "MeshConfig", "DataConfig", "FitConfig",
-           "dense_min_degree_for_rank", "gather_budget_for_rank"]
+           "dense_min_degree_for_rank", "gather_budget_for_rank",
+           "bucket_growth_for_rank"]

@@ -218,7 +218,9 @@ def build_layout(
     # equivalent gather and dominated the ML-25M epoch). Finer-than-pow2
     # grids cut padding waste on heavy-tailed degree distributions at the
     # cost of a few more compiled bucket shapes.
-    growth = max(float(getattr(cfg, "bucket_growth", 2.0)), 1.05)
+    # None = unresolved auto (estimator entry points resolve it per rank
+    # via config.bucket_growth_for_rank); plain builders take 1.25
+    growth = max(float(getattr(cfg, "bucket_growth", None) or 1.25), 1.05)
     grid = [int(cfg.min_bucket)]
     while grid[-1] < S:
         nxt = max(int(np.ceil(grid[-1] * growth / 8.0)) * 8, grid[-1] + 8)

@@ -59,6 +59,7 @@ class ALS(BaseEstimator):
         init_scale: float = 0.01,
         min_bucket: int = 8,
         max_bucket: int = 4096,
+        bucket_growth: Optional[float] = None,
         hot_cols: Optional[int] = None,
         dense_min_degree: Optional[int] = None,
         checkpoint_dir: Optional[str] = None,
@@ -85,6 +86,7 @@ class ALS(BaseEstimator):
         self.init_scale = init_scale
         self.min_bucket = min_bucket
         self.max_bucket = max_bucket
+        self.bucket_growth = bucket_growth
         self.hot_cols = hot_cols
         self.dense_min_degree = dense_min_degree
         self.checkpoint_dir = checkpoint_dir
@@ -188,8 +190,17 @@ class ALS(BaseEstimator):
             from recommendation_models_tpu.config import (
                 dense_min_degree_for_rank)
             dmd = dense_min_degree_for_rank(self.rank, self.max_bucket)
+        growth = self.bucket_growth
+        if growth is None:
+            # auto: finer grids cut padding (1.12 wins at k<=64) but extra
+            # bucket shapes cost at solve-bound k=128 (1.25) — measured,
+            # config.bucket_growth_for_rank
+            from recommendation_models_tpu.config import (
+                bucket_growth_for_rank)
+            growth = bucket_growth_for_rank(self.rank)
         return DataConfig(min_bucket=self.min_bucket,
                           max_bucket=self.max_bucket, hot_cols=hot,
+                          bucket_growth=growth,
                           dense_min_degree=dmd)
 
     def _build_layouts(self, indptr, indices, data, n_users, n_items, dcfg):
@@ -216,7 +227,9 @@ class ALS(BaseEstimator):
         tag = ("" if dcfg.dense_whales else ".nodense") + (
             f".hot{dcfg.hot_cols}" if dcfg.hot_cols else "") + (
             f".dmd{dcfg.dense_min_degree}"
-            if dcfg.dense_whales and dcfg.dense_min_degree != 512 else "")
+            if dcfg.dense_whales and dcfg.dense_min_degree != 512 else "") + (
+            f".g{dcfg.bucket_growth}"
+            if dcfg.bucket_growth not in (None, 1.25) else "")
         if prefix:
             tag += "." + data_fingerprint(indptr, indices, data)
         user_layout = cached_layout(

@@ -37,8 +37,6 @@ DataConfig(dense_whales=False, hot_cols=0), as the exchange modes do).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -75,17 +73,17 @@ def split_layout_slices(layout: ShardedLayout, n_slices: int):
         S, B, pad = idx.shape
         bd = max(1, -(-B // D))
         bd = -(-bd // 8) * 8
-        tot = bd * D
+
         def sp(a, fill=0):
             a4 = np.full((D, S) + (bd,) + a.shape[2:], fill, a.dtype)
             flat = np.arange(B)
             d_of, pos = flat % D, flat // D          # round-robin deal
             a4[d_of, :, pos] = np.swapaxes(a, 0, 1)[flat]
             return a4
+
         out.append(dict(
             row_ids=sp(rid, fill=layout.rows_per_shard),
             indices=sp(idx), values=sp(val), mask=sp(msk)))
-        del tot
     return tuple(out)
 
 
