@@ -242,8 +242,11 @@ class IMC(BaseEstimator):
 
         # IMC's gram consumer iterates gather buckets only — build without
         # the ALS dense-whale / hot-column blocks (wide buckets handle
-        # whale rows here)
-        dcfg = DataConfig(dense_whales=False, hot_cols=0)
+        # whale rows here); bucket growth follows the rank-aware auto
+        # policy (finer grids cut padded gather slots at low rank)
+        from recommendation_models_tpu.config import bucket_growth_for_rank
+        dcfg = DataConfig(dense_whales=False, hot_cols=0,
+                          bucket_growth=bucket_growth_for_rank(self.rank))
         user_layout, item_layout = self._build_layouts(
             users, items, ratings, n_users, n_items, dcfg)
         reg, cg_iters = float(self.reg), int(self.cg_iters)
