@@ -43,10 +43,14 @@ def block_batch(k: int) -> int:
     factorization is vreg-op-throughput-bound, so lanes-per-pass don't
     change total vector work, but each serial pass carries fixed
     scalar-side cost (loop control, ds slicing, mask iotas) that a wider
-    block amortizes over twice the systems — measured at k=128 on v5e:
-    26.5 ms vs 33.4 ms per 32k systems (-21% isolated; see docs/PERF.md
-    for the whole-epoch number). VMEM at k=160/bt=256 is ~79 MB
-    (double-buffered input + scratch), inside the 100 MB limit.
+    block amortizes over twice the systems — measured at k=128 on v5e per
+    32k systems: 33.4 ms at bt=128 vs 26.5 at 256 (-21% isolated; epoch
+    0.507 -> 0.484 s). bt=512 is ANOTHER isolated win (24.3 ms, compiles
+    at ~102 MB VMEM under a raised 120 MB limit) but the WHOLE EPOCH
+    regresses to 0.547 s — more than the ~2% extra padded systems explain;
+    the near-limit VMEM footprint plausibly starves XLA's scheduling of
+    the surrounding gather/einsum ops. Another isolated-probe trap
+    (CLAUDE.md): whole-epoch numbers decide, 256 stays.
 
     Above k=160 the wide block no longer fits: shrink the lane dim so
     3 * k^2 * bt * 4B stays under ~40 MB. A sub-128 lane block is only a
