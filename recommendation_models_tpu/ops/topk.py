@@ -220,9 +220,14 @@ def sharded_topk(
     per = -(-V.shape[0] // n_shards)
     if per * n_shards != V.shape[0]:
         V = jnp.pad(V, ((0, per * n_shards - V.shape[0]), (0, 0)))
-    fetch = k if exclude is None else min(k + exclude.shape[1], n_items)
-    fetch = min(fetch, per)
-    method = _resolve_method(method, per, fetch)
+    want = k if exclude is None else min(k + exclude.shape[1], n_items)
+    # a shard holds only `per` candidates, but the MERGE pools n_shards of
+    # those — its width must stay `want`, not the per-shard clamp (with a
+    # small catalog over many shards, per < k made the final top_k fail;
+    # fuzz-found)
+    fetch_shard = min(want, per)
+    fetch = min(want, n_shards * fetch_shard)
+    method = _resolve_method(method, per, fetch_shard)
 
     # out values are replicated by construction (identical all_gather+merge on
     # every shard) but the VMA checker can't infer that: check_vma=False.
@@ -240,10 +245,10 @@ def sharded_topk(
         local_ids = jnp.arange(per) + base
         s = jnp.where(local_ids[None, :] < n_items, s, -jnp.inf)
         if method == "approx":
-            sc, idx = jax.lax.approx_max_k(s, fetch,
+            sc, idx = jax.lax.approx_max_k(s, fetch_shard,
                                            recall_target=recall_target)
         else:
-            sc, idx = jax.lax.top_k(s, fetch)
+            sc, idx = jax.lax.top_k(s, fetch_shard)
         idx = idx + base
         # all_gather candidates from every shard, merge locally (replicated)
         sc_all = jax.lax.all_gather(sc, axis, axis=1)      # (B, S, fetch)

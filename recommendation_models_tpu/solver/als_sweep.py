@@ -135,7 +135,12 @@ def dense_gram_rhs(V, vals, alpha, compute_dtype, col_chunk: int = 32_768):
     objective's residual constant).
     """
     k = V.shape[-1]
-    n = V.shape[0]
+    # iterate the VALUE matrix's width, not the table's row count: a
+    # sharded fit's allgathered table is padded to rows_per_shard * S
+    # rows (> n_cols when the catalog doesn't divide the shard count) and
+    # the padded rows carry no observations (fuzz-found: the mismatched
+    # final chunk was a shape error)
+    n = vals.shape[1]
     w = vals.shape[0]
     Vc = V.astype(compute_dtype)
     G = jnp.zeros((w, k * k), jnp.float32)
@@ -374,7 +379,7 @@ def masked_sse(
         vals = dense["dense_vals"]                     # (W, n_cols) f16
         Ud = jnp.take(U, dense["dense_ids"], axis=0, mode="fill",
                       fill_value=0.0)
-        n = V.shape[0]
+        n = vals.shape[1]      # NOT V.shape[0]: sharded tables are padded
         # 16k column chunks keep the (W, chunk) f32 pred temp bounded even
         # at the dense-budget cap (W can be tens of thousands of rows).
         for s in range(0, n, 16_384):

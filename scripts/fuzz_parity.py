@@ -1,0 +1,126 @@
+"""Randomized differential fuzz: ALS estimator vs the reference-faithful
+oracle across the config space (SURVEY.md §4.2-1's parity backbone, driven
+wide). Each trial draws a random problem shape + estimator config (rank,
+objective, reg-by-degree, bucket policy, hot/dense blocks, shard count) and
+checks the one-sweep factors and multi-sweep RMSE trajectory against
+OracleALS with the same init.
+
+CPU-only by design (XLA anchor path; the TPU kernels are covered by
+interpret-mode parity + scripts/tpu_smoke.py). Run:
+
+    PYTHONPATH= XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    JAX_PLATFORMS=cpu python scripts/fuzz_parity.py [n_trials] [seed]
+
+Exits non-zero on the first mismatch, printing the full config for replay.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import scipy.sparse as sp
+
+
+def one_trial(rng: np.random.Generator, trial: int) -> str:
+    from recommendation_models_tpu.models.als import ALS
+    from recommendation_models_tpu.oracle.als_numpy import OracleALS
+
+    n_users = int(rng.integers(3, 120))
+    n_items = int(rng.integers(3, 100))
+    density = float(rng.uniform(0.02, 0.6))
+    rank = int(rng.integers(1, 13))
+    alpha = None if rng.random() < 0.5 else float(rng.uniform(0.1, 20))
+    reg = float(rng.uniform(0.01, 2.0))
+    rbd = bool(rng.random() < 0.3)
+    n_shards = int(rng.choice([1, 1, 1, 2, 4, 8]))
+    cfg = dict(
+        rank=rank, reg=reg, alpha=alpha, reg_by_degree=rbd,
+        min_bucket=int(rng.choice([8, 8, 16])),
+        max_bucket=int(rng.choice([32, 64, 4096])),
+        bucket_growth=float(rng.choice([1.12, 1.25, 2.0])),
+        hot_cols=int(rng.choice([0, 0, 8, 32])),
+        dense_min_degree=int(rng.choice([8, 24, 512])),
+        chunk=int(rng.choice([16, 512])),
+        gather_budget_mb=int(rng.choice([0, 1, 64])),
+        seed=trial,
+    )
+    tag = (f"trial {trial}: {n_users}x{n_items} d={density:.2f} {cfg} "
+           f"shards={n_shards}")
+
+    mask = rng.random((n_users, n_items)) < density
+    # guarantee at least one observation
+    mask[int(rng.integers(n_users)), int(rng.integers(n_items))] = True
+    R = np.where(mask, rng.uniform(0.5, 5.0, mask.shape), 0.0
+                 ).astype(np.float32)
+    Rs = sp.csr_matrix(R)
+    U0 = (0.1 * rng.standard_normal((n_users, rank))).astype(np.float32)
+    V0 = (0.1 * rng.standard_normal((n_items, rank))).astype(np.float32)
+
+    o = OracleALS(rank=rank, reg=reg, alpha=alpha, reg_by_degree=rbd,
+                  n_sweeps=3)
+    o.fit(Rs, U0=U0, V0=V0)
+
+    kw = dict(cfg)
+    if n_shards > 1:
+        kw.update(n_shards=n_shards, platform="cpu",
+                  exchange=str(rng.choice(["allgather", "all_to_all"])))
+        # compact exchange cannot serve dense/hot global-column blocks
+        if kw["exchange"] == "all_to_all":
+            kw.update(hot_cols=0, dense_min_degree=None)
+            kw["max_bucket"] = 4096
+    m = ALS(n_sweeps=3, **kw)
+    m.fit(Rs, U0=U0, V0=V0)
+
+    scale = max(np.abs(o.U_).max(), 1.0)
+    # trajectory parity: same algorithm, f32 vs f64 — loose but
+    # order-of-magnitude-breakage-detecting tolerances (conditioning
+    # amplifies across sweeps; see scripts/tpu_smoke.py rationale)
+    hist_o = np.asarray(o.history_)
+    hist_m = np.asarray(m.history_)
+    dh = np.abs(hist_o - hist_m).max() / max(hist_o[-1], 1e-6)
+    assert dh < 5e-2, f"history diverged ({dh:.3e})\n{tag}\n{hist_o}\n{hist_m}"
+    assert np.isfinite(m.U_).all() and np.isfinite(m.V_).all(), tag
+    # single-sweep factor parity (tight: one sweep limits amplification)
+    o1 = OracleALS(rank=rank, reg=reg, alpha=alpha, reg_by_degree=rbd,
+                   n_sweeps=1).fit(Rs, U0=U0, V0=V0)
+    m1 = ALS(n_sweeps=1, **kw).fit(Rs, U0=U0, V0=V0)
+    du = np.abs(m1.U_ - o1.U_).max() / scale
+    assert du < 5e-3, f"1-sweep U diverged ({du:.3e})\n{tag}"
+
+    # serving parity on the fitted model: exact top-k, both exclusion modes
+    uq = np.arange(min(n_users, 5))
+    sc, it = m.recommend(uq, n=min(4, n_items), exclude_seen=False,
+                         method="exact")
+    s_ref = m.U_[uq] @ m.V_.T
+    np.testing.assert_allclose(np.asarray(sc)[:, 0], s_ref.max(1),
+                               rtol=1e-4, atol=1e-5, err_msg=tag)
+    sc_x, it_x = m.recommend(uq, n=min(4, n_items), exclude_seen=True,
+                             method="exact")
+    s_excl = s_ref.copy()
+    for i, u in enumerate(uq):
+        s_excl[i, Rs[u].indices] = -np.inf
+    np.testing.assert_allclose(np.asarray(sc_x)[:, 0], s_excl.max(1),
+                               rtol=1e-4, atol=1e-5, err_msg=tag)
+    return tag
+
+
+def main() -> int:
+    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    for t in range(n_trials):
+        tag = one_trial(rng, t)
+        print(f"ok {tag[:110]}  [{time.time() - t0:.0f}s]", flush=True)
+    print(f"FUZZ PASS: {n_trials} trials, {time.time() - t0:.0f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

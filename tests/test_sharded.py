@@ -138,6 +138,27 @@ def test_device_resident_sharded_serving(cpu_mesh):
     np.testing.assert_allclose(sc2, sc[:5], rtol=1e-5)
 
 
+def test_sharded_dense_block_with_nondivisible_catalog(cpu_mesh):
+    """Sharded allgather fit WITH a populated dense-whale block on a
+    catalog that does not divide the shard count: the allgathered opposite
+    table is padded past n_cols, and dense_gram_rhs must iterate the value
+    matrix's width, not the padded table rows (fuzz-found shape error)."""
+    n_users, n_items = 45, 39                  # 39 % 8 != 0, 45 % 8 != 0
+    R = tiny_problem(n_users, n_items, density=0.5, seed=77)
+    U0, V0 = _init(n_users, n_items, rank=4, seed=3)
+    kw = dict(rank=4, reg=0.3, n_sweeps=2, dense_min_degree=8, hot_cols=0)
+    single = ALS(**kw).fit(R, U0=U0, V0=V0)
+    # confirm the dense block is actually populated in this problem
+    ul, _ = single._build_layouts(*__import__(
+        "recommendation_models_tpu.data.layout",
+        fromlist=["csr_arrays"]).csr_arrays(R)[:3], n_users, n_items,
+        single._data_config())
+    assert ul.dense_ids is not None and ul.dense_ids.size > 0
+    sharded = ALS(**kw, n_shards=8, platform="cpu").fit(R, U0=U0, V0=V0)
+    np.testing.assert_allclose(sharded.U_, single.U_, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(sharded.history_, single.history_, rtol=1e-4)
+
+
 def test_collective_bytes_accounting(cpu_mesh):
     """Every sharded fit exposes its per-sweep ICI traffic. The allgather
     number matches the (S-1) * css * k * 4 identity per half, and on a

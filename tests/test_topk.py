@@ -94,6 +94,22 @@ def test_sharded_topk_exclude(rng, cpu_mesh):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_sharded_topk_small_catalog_wide_exclusion(rng, cpu_mesh):
+    """Catalog so small that rows-per-shard < k: the per-shard fetch clamps
+    to `per`, but the MERGE must still pool n_shards * per candidates wide
+    enough to survive exclusion filtering (fuzz-found: the merged width was
+    the per-shard clamp and the final top_k(k) raised)."""
+    U, V = _case(rng, b=5, n=20, k=4)      # 20 items over 8 shards: per=3
+    exclude = np.tile(np.arange(12, dtype=np.int32), (5, 1))
+    s1, i1 = topk_scores(jnp.asarray(U), jnp.asarray(V), 4,
+                         jnp.asarray(exclude))
+    s2, i2 = sharded_topk(jnp.asarray(U), jnp.asarray(V), 4, cpu_mesh,
+                          exclude=jnp.asarray(exclude))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # no excluded item served
+    assert not (np.asarray(i2)[:, :, None] == exclude[:, None, :]).any()
+
+
 def test_recommend_degree_bucketed_matches_bruteforce():
     # recommend() groups eval users by train degree (whales don't widen the
     # whole batch's overfetch) — results must still match per-user brute
