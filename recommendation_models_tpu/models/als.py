@@ -294,7 +294,12 @@ class ALS(BaseEstimator):
                                       nnz=max(nnz, 1))
             U, V, sse = fit_fn(U, V)
             sse_h = np.asarray(sse)
-            sse_h = sse_h[sse_h >= 0]          # -1 = sweep never ran (tol)
+            # -1.0 = sweep never ran (tol sentinel). Near-interpolation fits
+            # can return TINY negative SSE from f32 cancellation in the
+            # r2 - x.rhs - reg||x||^2 identity — those are real sweeps
+            # (clamped to 0), not sentinels (fuzz-found: a perfect fit came
+            # back with an empty history_).
+            sse_h = np.maximum(sse_h[sse_h > -0.5], 0.0)
             self.history_ = list(np.sqrt(sse_h / max(nnz, 1)))
         else:
             sweep, train_sse = make_sweep_fns(ub, ib, n_users, n_items, scfg)

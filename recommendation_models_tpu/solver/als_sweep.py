@@ -322,6 +322,12 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
             # x.rhs - reg ||x||^2 — the whole quadratic term collapses to
             # dot products over (k, b). Summed over the *item* half-sweep's
             # rows this equals masked_sse(U_new, V_new) (tested).
+            # CAVEAT: the identity subtracts O(r2)-sized terms, so its f32
+            # absolute error is ~r2 * eps — near-INTERPOLATION fits (tiny
+            # reg, rank >= degree) can report SSE ~0 (even slightly
+            # negative; callers clamp) where the true residual is ~1e-4 of
+            # the data scale. Production-scale residuals are far above
+            # that; the direct masked_sse path has no such cancellation.
             r2 = r2 + jnp.sum(bucket["mask"] * bucket["values"] ** 2)
             if hv is not None:
                 hv_f = hv.astype(jnp.float32)
@@ -549,8 +555,12 @@ def make_scanned_fit(
 
         def cond(carry):
             _, _, hist, i = carry
-            prev = jnp.sqrt(hist[jnp.maximum(i - 2, 0)] / nnz)
-            cur = jnp.sqrt(hist[jnp.maximum(i - 1, 0)] / nnz)
+            # clamp: near-interpolation f32 SSE can round slightly negative
+            # (sqrt would NaN and silently end the loop)
+            prev = jnp.sqrt(jnp.maximum(hist[jnp.maximum(i - 2, 0)], 0.0)
+                            / nnz)
+            cur = jnp.sqrt(jnp.maximum(hist[jnp.maximum(i - 1, 0)], 0.0)
+                           / nnz)
             improving = jnp.logical_or(i < 2, jnp.abs(prev - cur) >= tol)
             return jnp.logical_and(i < n_sweeps, improving)
 
