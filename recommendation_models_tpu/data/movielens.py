@@ -57,6 +57,10 @@ def load_ratings_file(
     Returns dict with ``users`` (int32, dense), ``items`` (int32, dense),
     ``ratings`` (float32), ``n_users``, ``n_items``, plus the original-id
     vocabularies ``user_vocab`` / ``item_vocab``.
+
+    Robustness (probed): malformed/short/binary lines are skipped, CRLF
+    and missing trailing newlines handled; raw ids are parsed as uint32
+    (MovieLens ids are <10^6 — ids beyond 2^32 would wrap silently).
     """
     cache_path = path + ".rmtpu.npz"
     # A cache with a missing source is valid (archives are often deleted
