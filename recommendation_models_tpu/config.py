@@ -170,9 +170,13 @@ def gather_budget_for_rank(rank: int, nnz: Optional[int] = None) -> int:
     rank-128), so k>64 problems beyond ~40M observations keep the bounded
     256 MB scan. ``solver.als_sweep.resolve_gather_budget`` — the single
     resolution point every consumer goes through — passes its actual
-    padded bucket volume; ``None`` assumes the (measured) ML-25M class."""
+    padded bucket volume; ``None`` assumes the (measured) ML-25M class.
+
+    Round 3 re-swept the k<=64 point at the 1.12-growth layout: 2 MB wins
+    (ML-25M 0.2008 vs 0.2041 @ 8 / 0.213 @ 16; 1 MB 0.2011 is past the
+    optimum; ML-1M 7.6 vs 8.5 ms; synth100m neutral at 0.912)."""
     if rank <= 64:
-        return 8
+        return 2
     if nnz is not None and nnz > 40_000_000:
         return 256
     return 4096

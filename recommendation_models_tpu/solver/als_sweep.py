@@ -91,19 +91,29 @@ def device_buckets(layout: PaddedLayout,
     return tuple(out)
 
 
-def resolve_gather_budget(budget_mb: int, k: int, buckets) -> int:
+def resolve_gather_budget(budget_mb: int, k: int, buckets,
+                          for_sse: bool = False) -> int:
     """The ONE resolution point for the auto (0) gather budget: rank- and
     problem-size-aware (config.gather_budget_for_rank), with the size taken
     from the actual padded bucket volume this consumer will gather — the
     unsplit k>64 mode OOMs HBM at 100M-interaction scale (measured), so it
     is gated by size, and every consumer (single-device, sharded, hybrid,
     sse) resolves HERE rather than each entry point re-implementing the
-    gate."""
+    gate.
+
+    ``for_sse``: the standalone residual pass has no solve to pipeline
+    against, so tiny blocks only pay scan overhead — it floors the k<=64
+    auto at 8 MB (measured: the implicit ML-25M epoch, whose sse is a
+    separate pass, runs 0.186 s with an 8 MB sse budget vs 0.201 with the
+    solve path's 2 MB applied to both)."""
     if budget_mb:
         return budget_mb
     from recommendation_models_tpu.config import gather_budget_for_rank
     total = sum(int(b["indices"].size) for b in buckets if "indices" in b)
-    return gather_budget_for_rank(k, total)
+    budget = gather_budget_for_rank(k, total)
+    if for_sse:
+        budget = max(budget, 8)
+    return budget
 
 
 def _split_special(buckets):
@@ -378,7 +388,8 @@ def masked_sse(
     """
     k = V.shape[-1]
     buckets, dense, hot_ids = _split_special(buckets)
-    gather_budget_mb = resolve_gather_budget(gather_budget_mb, k, buckets)
+    gather_budget_mb = resolve_gather_budget(gather_budget_mb, k, buckets,
+                                             for_sse=True)
     hot_V = None if hot_ids is None else jnp.take(V, hot_ids, axis=0)
     total = jnp.zeros((), jnp.float32)
     if dense is not None:

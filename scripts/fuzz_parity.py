@@ -172,11 +172,80 @@ def one_imc_trial(rng: np.random.Generator, trial: int) -> str:
     return tag
 
 
+def one_hybrid2d_trial(rng: np.random.Generator, trial: int) -> str:
+    """Observation-parallel 2-D program vs the single-device sweep across
+    random shapes/configs (stresses split_layout_slices' round-robin deal,
+    the dcn gram psum, and the row-block scan bounding)."""
+    import jax.numpy as jnp
+    from recommendation_models_tpu.config import DataConfig, SolveConfig
+    from recommendation_models_tpu.data.layout import (build_layout,
+                                                       csr_arrays,
+                                                       layout_from_coo,
+                                                       shard_layout)
+    from recommendation_models_tpu.parallel.hybrid_als import HybridALSProgram
+    from recommendation_models_tpu.parallel.mesh import get_hybrid_mesh
+    from recommendation_models_tpu.solver.als_sweep import (device_buckets,
+                                                            make_sweep_fns)
+
+    n_users = int(rng.integers(6, 90))
+    n_items = int(rng.integers(6, 80))
+    density = float(rng.uniform(0.05, 0.5))
+    rank = int(rng.integers(1, 9))
+    D, S = [(2, 4), (4, 2), (2, 2), (8, 1)][int(rng.integers(4))]
+    cfg = SolveConfig(rank=rank, reg=float(rng.uniform(0.05, 1.0)),
+                      alpha=None if rng.random() < 0.5
+                      else float(rng.uniform(0.5, 10)),
+                      reg_by_degree=bool(rng.random() < 0.3),
+                      chunk=int(rng.choice([16, 512])),
+                      gather_budget_mb=int(rng.choice([0, 1])))
+    dcfg = DataConfig(dense_whales=False, hot_cols=0,
+                      min_bucket=int(rng.choice([8, 16])),
+                      max_bucket=int(rng.choice([32, 4096])),
+                      bucket_growth=float(rng.choice([1.12, 2.0])))
+    tag = (f"hybrid2d trial {trial}: {n_users}x{n_items} d={density:.2f} "
+           f"r={rank} D={D} S={S} alpha={cfg.alpha} rbd={cfg.reg_by_degree}")
+
+    mask = rng.random((n_users, n_items)) < density
+    mask[int(rng.integers(n_users)), int(rng.integers(n_items))] = True
+    R = np.where(mask, rng.integers(1, 11, mask.shape) / 2.0, 0.0
+                 ).astype(np.float32)
+    indptr, indices, data, _, _ = csr_arrays(R)
+    ul = build_layout(indptr, indices, data, n_users, n_items, dcfg)
+    rows = np.repeat(np.arange(n_users), np.diff(indptr))
+    il = layout_from_coo(rows, indices, data, n_users, n_items, dcfg,
+                         transpose=True)
+    U0 = (0.1 * rng.standard_normal((n_users, rank))).astype(np.float32)
+    V0 = (0.1 * rng.standard_normal((n_items, rank))).astype(np.float32)
+
+    sweep, train_sse = make_sweep_fns(device_buckets(ul), device_buckets(il),
+                                      n_users, n_items, cfg)
+    U = jnp.asarray(U0)
+    V = jnp.asarray(V0)
+    for _ in range(2):
+        U, V = sweep(U, V)
+    sse_ref = float(train_sse(U, V))
+
+    mesh = get_hybrid_mesh(D * S, num_slices=D, platform="cpu")
+    prog = HybridALSProgram(shard_layout(ul, S), shard_layout(il, S),
+                            mesh, cfg)
+    Uh, Vh = prog.place_factors(U0, V0)
+    for _ in range(2):
+        Uh, Vh = prog.sweep(Uh, Vh)
+    sse_h = float(prog.train_sse(Uh, Vh))
+    scale = max(np.abs(np.asarray(U)).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(Uh)[:n_users], np.asarray(U),
+                               rtol=5e-4, atol=5e-5 * scale, err_msg=tag)
+    np.testing.assert_allclose(sse_h, sse_ref, rtol=2e-4, atol=1e-5,
+                               err_msg=tag)
+    return tag
+
+
 def main() -> int:
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     model = os.environ.get("FUZZ_MODEL", "als")
-    fn = one_imc_trial if model == "imc" else one_trial
+    fn = {"als": one_trial, "imc": one_imc_trial,
+          "hybrid2d": one_hybrid2d_trial}[model]
     rng = np.random.default_rng(seed)
     t0 = time.time()
     for t in range(n_trials):
