@@ -169,7 +169,9 @@ def imc_bench(scale, rank, n_users, n_items) -> None:
     from recommendation_models_tpu.models.imc import _imc_program
     from recommendation_models_tpu.solver.als_sweep import device_buckets
 
-    dcfg = DataConfig(dense_whales=False, hot_cols=0)
+    from recommendation_models_tpu.config import bucket_growth_for_rank
+    dcfg = DataConfig(dense_whales=False, hot_cols=0,
+                      bucket_growth=bucket_growth_for_rank(rank))
     ul = layout_from_coo(users[tr], items[tr], ratings[tr],
                          n_users, n_items, config=dcfg)
     il = layout_from_coo(users[tr], items[tr], ratings[tr],

@@ -191,7 +191,9 @@ def bucket_growth_for_rank(rank: int) -> float:
     k=64 epoch 0.2163 @ 1.25, 0.2072 @ 1.16, **0.205 @ 1.12** (stable x2),
     0.2072 @ 1.09, 0.2154 @ 1.06 — a clear interior optimum; k=128 inverts
     (0.505 @ 1.12 vs **0.484 @ 1.25**): the epoch is solve-bound there, so
-    saved gather slots buy little while extra shapes still cost."""
+    saved gather slots buy little while extra shapes still cost. Coarser
+    grids lose badly at k=128 too (0.627 @ 1.4, 0.655 @ 1.6) — 1.25 is an
+    interior optimum at both ranks, not an endpoint."""
     return 1.12 if rank <= 64 else 1.25
 
 
