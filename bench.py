@@ -374,9 +374,15 @@ def main() -> None:
     Rs = R[:sample_rows]
     oracle = OracleALS(rank=rank, reg=0.1)
     V_host = np.asarray(V, np.float64)
-    t2 = time.perf_counter()
-    oracle.half_sweep(Rs, V_host)
-    oracle_elapsed = time.perf_counter() - t2
+    # best-of-3: the oracle's Python loop is sensitive to transient host
+    # load (observed 2.3-6k rows/s for the same work), which made the
+    # reported ratio swing ~2x run to run; the fastest pass is the honest
+    # capability number
+    oracle_elapsed = np.inf
+    for _ in range(3):
+        t2 = time.perf_counter()
+        oracle.half_sweep(Rs, V_host)
+        oracle_elapsed = min(oracle_elapsed, time.perf_counter() - t2)
     oracle_rows_per_sec = sample_rows / oracle_elapsed
     print(f"# oracle: {oracle_rows_per_sec:.1f} rows/s over {sample_rows} rows",
           file=sys.stderr)
