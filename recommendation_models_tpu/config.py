@@ -28,9 +28,11 @@ class SolveConfig:
     # Row-block budget (MB) for one gathered (rows, P, k) block: big buckets
     # are scanned in row-blocks this size. Originally a 256 MB HBM-OOM cap;
     # now primarily a scan-PIPELINING lever whose optimum is RANK-dependent
-    # (measured v5e, docs/PERF.md 'gather budget': 8 MB wins at k<=64 —
-    # ML-25M 0.34 -> 0.25 s, synth100m 1.65 -> 0.92 s — but k=128 inverts,
-    # 256 MB 0.545 s vs 8 MB 0.614 s). 0 = auto (gather_budget_for_rank).
+    # (measured v5e, docs/PERF.md 'gather budget': small blocks win at
+    # k<=64 — 2 MB at the 1.12-growth layout — but k>64 inverts and wants
+    # NO row-block scan at all, memory permitting). 0 = auto, resolved per
+    # consumer by solver.als_sweep.resolve_gather_budget (rank-, size- and
+    # sse-aware).
     gather_budget_mb: int = 0
 
     @property
