@@ -458,6 +458,15 @@ class IMC(BaseEstimator):
         items = np.asarray(items, np.int64)
         return np.einsum("ok,ok->o", X[users] @ self.W_, Y[items] @ self.H_)
 
+    def predict_all(self, user: int, X=None, Y=None) -> np.ndarray:
+        """Scores for every item for one user (reference ``predict_all``,
+        SURVEY.md §2.1 row 8); pass a fresh 1-row ``X`` for a cold-start
+        user."""
+        self._check_fitted()
+        X = self._X if X is None else np.asarray(X, np.float32)
+        Y = self._Y if Y is None else np.asarray(Y, np.float32)
+        return (X[user] @ self.W_) @ (Y @ self.H_).T
+
     def rmse(self, R, X=None, Y=None) -> float:
         users, items, ratings = _as_triplets(R)
         pred = self.predict(users, items, X, Y)

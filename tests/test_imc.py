@@ -232,6 +232,10 @@ def test_imc_recommend_topk_path(imc_problem):
     # single-user convenience
     assert m.top_n(int(uq[0]), 3).shape == (3,)
 
+    # predict_all parity with the dense bilinear row (reference §2.1 row 8)
+    np.testing.assert_allclose(m.predict_all(int(uq[0])), s_ref[0],
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_imc_recommend_whale_batch_and_veff_cache():
     """(a) A whale user in the batch must not break exclusion for anyone
