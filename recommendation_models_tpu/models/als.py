@@ -66,6 +66,8 @@ class ALS(BaseEstimator):
         checkpoint_every: int = 0,
         layout_cache: Optional[str] = None,
         verbose: int = 0,
+        lambda_: Optional[float] = None,
+        max_iter: Optional[int] = None,
     ):
         self.rank = rank
         self.reg = reg
@@ -93,6 +95,20 @@ class ALS(BaseEstimator):
         self.checkpoint_every = checkpoint_every
         self.layout_cache = layout_cache
         self.verbose = verbose
+        # reference-name aliases (SURVEY.md §0 items 1-2: the reference's
+        # exact kwarg names are unverifiable while the mount is empty;
+        # accepting both makes the estimator a drop-in either way). When
+        # set, they take precedence over reg / n_sweeps.
+        self.lambda_ = lambda_
+        self.max_iter = max_iter
+
+    @property
+    def _reg(self) -> float:
+        return self.reg if self.lambda_ is None else self.lambda_
+
+    @property
+    def _n_sweeps(self) -> int:
+        return self.n_sweeps if self.max_iter is None else self.max_iter
 
     # Fitted factor state. Sharded fits keep the tables DEVICE-RESIDENT on
     # the mesh (SURVEY.md §3.5/N9: serving routes through sharded_topk with
@@ -149,6 +165,7 @@ class ALS(BaseEstimator):
             exchange=mesh.exchange, exchange_head=mesh.exchange_head,
             platform=mesh.platform,
             min_bucket=data.min_bucket, max_bucket=data.max_bucket,
+            bucket_growth=data.bucket_growth,
             hot_cols=data.hot_cols, layout_cache=data.layout_cache,
             # the dataclass default (512) means "unset" here so rank>64
             # configs keep the rank-aware auto threshold; 512 is what auto
@@ -163,7 +180,7 @@ class ALS(BaseEstimator):
 
     def _solve_config(self) -> SolveConfig:
         return SolveConfig(
-            rank=self.rank, reg=self.reg, reg_by_degree=self.reg_by_degree,
+            rank=self.rank, reg=self._reg, reg_by_degree=self.reg_by_degree,
             alpha=self.alpha, chunk=self.chunk, solver=self.solver,
             gather_budget_mb=self.gather_budget_mb,
             compute_dtype=self.compute_dtype,
@@ -252,10 +269,10 @@ class ALS(BaseEstimator):
         """
         if self.rank < 1:
             raise ValueError(f"rank must be >= 1, got {self.rank}")
-        if self.reg < 0:
-            raise ValueError(f"reg must be >= 0, got {self.reg}")
-        if self.n_sweeps < 1:
-            raise ValueError(f"n_sweeps must be >= 1, got {self.n_sweeps}")
+        if self._reg < 0:
+            raise ValueError(f"reg must be >= 0, got {self._reg}")
+        if self._n_sweeps < 1:
+            raise ValueError(f"n_sweeps must be >= 1, got {self._n_sweeps}")
         indptr, indices, data, n_users, n_items = csr_arrays(R)
         self.n_users_, self.n_items_ = n_users, n_items
         self._train_indptr, self._train_indices = indptr, indices
@@ -290,7 +307,7 @@ class ALS(BaseEstimator):
             # never run come back as the -1 sentinel and are trimmed here).
             from recommendation_models_tpu.solver.als_sweep import make_scanned_fit
             fit_fn = make_scanned_fit(ub, ib, n_users, n_items, scfg,
-                                      self.n_sweeps, tol=self.tol,
+                                      self._n_sweeps, tol=self.tol,
                                       nnz=max(nnz, 1))
             U, V, sse = fit_fn(U, V)
             sse_h = np.asarray(sse)
@@ -305,7 +322,7 @@ class ALS(BaseEstimator):
             sweep, train_sse = make_sweep_fns(ub, ib, n_users, n_items, scfg)
             self.history_ = []
             prev = None
-            for s in range(self.n_sweeps):
+            for s in range(self._n_sweeps):
                 U, V = sweep(U, V)
                 cur = float(jnp.sqrt(train_sse(U, V) / max(nnz, 1)))
                 self.history_.append(cur)
@@ -370,7 +387,7 @@ class ALS(BaseEstimator):
 
         self.history_ = []
         prev = None
-        for s in range(self.n_sweeps):
+        for s in range(self._n_sweeps):
             U, V = prog.sweep(U, V)
             cur = float(jnp.sqrt(prog.train_sse(U, V) / max(nnz, 1)))
             self.history_.append(cur)

@@ -163,6 +163,8 @@ class IMC(BaseEstimator):
         checkpoint_every: int = 0,
         layout_cache: Optional[str] = None,
         verbose: int = 0,
+        lambda_: Optional[float] = None,
+        max_iter: Optional[int] = None,
     ):
         self.rank = rank
         self.reg = reg
@@ -178,6 +180,17 @@ class IMC(BaseEstimator):
         self.checkpoint_every = checkpoint_every
         self.layout_cache = layout_cache
         self.verbose = verbose
+        # reference-name aliases (see models/als.py; SURVEY.md §0 items 1-2)
+        self.lambda_ = lambda_
+        self.max_iter = max_iter
+
+    @property
+    def _reg(self) -> float:
+        return self.reg if self.lambda_ is None else self.lambda_
+
+    @property
+    def _n_sweeps(self) -> int:
+        return self.n_sweeps if self.max_iter is None else self.max_iter
 
     # ------------------------------------------------------------------
     def _build_layouts(self, users, items, ratings, n_users, n_items, dcfg):
@@ -249,7 +262,7 @@ class IMC(BaseEstimator):
                           bucket_growth=bucket_growth_for_rank(self.rank))
         user_layout, item_layout = self._build_layouts(
             users, items, ratings, n_users, n_items, dcfg)
-        reg, cg_iters = float(self.reg), int(self.cg_iters)
+        reg, cg_iters = float(self._reg), int(self.cg_iters)
         rng = np.random.default_rng(self.seed)
         k = self.rank
         W = (np.asarray(W0, np.float32) if W0 is not None else
@@ -278,7 +291,7 @@ class IMC(BaseEstimator):
             # Whole fit = ONE device program (lax.scan over sweeps);
             # no per-sweep host round trips (matters doubly over the
             # remote-attached TPU tunnel).
-            W, H, hist = run_sweeps(W, H, self.n_sweeps)
+            W, H, hist = run_sweeps(W, H, self._n_sweeps)
             self.history_ = list(np.asarray(hist, np.float64))
         else:
             # Per-sweep host loop reusing ONE compiled length-1 program:
@@ -286,7 +299,7 @@ class IMC(BaseEstimator):
             # the objective), async checkpoints, verbose prints.
             self.history_ = []
             prev = None
-            for s in range(self.n_sweeps):
+            for s in range(self._n_sweeps):
                 W, H, hist = run_sweeps(W, H, 1)
                 cur = float(np.asarray(hist)[-1])
                 self.history_.append(cur)
@@ -316,7 +329,7 @@ class IMC(BaseEstimator):
         from recommendation_models_tpu.data.layout import shard_layout
         from recommendation_models_tpu.parallel.mesh import get_mesh
 
-        reg_ = float(self.reg)
+        reg_ = float(self._reg)
         cg_ = int(self.cg_iters)
         mesh = get_mesh(self.n_shards, platform=self.platform,
                         num_slices=self.num_slices)

@@ -104,6 +104,31 @@ def test_from_configs_roundtrip():
     assert (p["max_bucket"], p["n_sweeps"], p["seed"]) == (128, 3, 9)
 
 
+def test_reference_name_aliases():
+    """`lambda_` / `max_iter` (the reference's probable kwarg names —
+    SURVEY.md §0 items 1-2, unverifiable while the mount is empty) are
+    accepted as aliases of reg / n_sweeps and take precedence when set."""
+    from sklearn.base import clone
+    from tests.conftest import tiny_problem
+    from recommendation_models_tpu import IMC
+    R = tiny_problem(25, 18, seed=9)
+    a = ALS(rank=4, lambda_=0.3, max_iter=3, seed=0).fit(R)
+    b = ALS(rank=4, reg=0.3, n_sweeps=3, seed=0).fit(R)
+    np.testing.assert_array_equal(a.U_, b.U_)
+    assert len(a.history_) == 3
+    # sklearn contract still holds with the aliases set
+    c = clone(ALS(rank=4, lambda_=0.3, max_iter=3))
+    assert (c.lambda_, c.max_iter) == (0.3, 3)
+    # IMC mirrors
+    import numpy as _np
+    rng = _np.random.default_rng(0)
+    X = rng.standard_normal((25, 6)).astype(_np.float32)
+    Y = rng.standard_normal((18, 5)).astype(_np.float32)
+    mi = IMC(rank=3, lambda_=0.2, max_iter=2, cg_iters=10).fit(R, X, Y)
+    mj = IMC(rank=3, reg=0.2, n_sweeps=2, cg_iters=10).fit(R, X, Y)
+    np.testing.assert_array_equal(mi.W_, mj.W_)
+
+
 def test_pickle_fitted_roundtrip():
     import pickle
     from tests.conftest import tiny_problem
