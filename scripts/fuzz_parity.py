@@ -240,12 +240,71 @@ def one_hybrid2d_trial(rng: np.random.Generator, trial: int) -> str:
     return tag
 
 
+def one_parser_trial(rng: np.random.Generator, trial: int) -> str:
+    """Data-plane round trip: write a random ratings file in a random
+    MovieLens vintage format (tab / '::' / csv, optional header/CRLF/no
+    trailing newline, shuffled sparse original ids), parse through the
+    native C++ scanner path, and check triplets + vocab against ground
+    truth."""
+    import tempfile
+    from recommendation_models_tpu.data.movielens import load_ratings_file
+
+    n_users = int(rng.integers(1, 60))
+    n_items = int(rng.integers(1, 50))
+    n_obs = int(rng.integers(1, 400))
+    fmt = ["u.data", "ratings.dat", "ratings.csv"][int(rng.integers(3))]
+    header = fmt == "ratings.csv"
+    crlf = bool(rng.random() < 0.3)
+    no_final_nl = bool(rng.random() < 0.3)
+    # sparse, shuffled original id spaces (parsers must densify)
+    uvocab = np.sort(rng.choice(10_000, n_users, replace=False)) + 1
+    ivocab = np.sort(rng.choice(50_000, n_items, replace=False)) + 1
+    u = rng.integers(0, n_users, n_obs)
+    i = rng.integers(0, n_items, n_obs)
+    r = rng.integers(1, 11, n_obs) / 2.0
+    tag = (f"parser trial {trial}: {fmt} obs={n_obs} {n_users}x{n_items} "
+           f"crlf={crlf} nonl={no_final_nl}")
+
+    sep = {"u.data": "\t", "ratings.dat": "::", "ratings.csv": ","}[fmt]
+    eol = "\r\n" if crlf else "\n"
+    lines = []
+    if header:
+        lines.append("userId,movieId,rating,timestamp")
+    for k in range(n_obs):
+        rat = f"{r[k]:g}" if fmt == "ratings.csv" else (
+            str(int(r[k])) if r[k] == int(r[k]) else f"{r[k]:g}")
+        lines.append(sep.join([str(uvocab[u[k]]), str(ivocab[i[k]]),
+                               rat, str(800000000 + k)]))
+    content = eol.join(lines) + ("" if no_final_nl else eol)
+    suffix = {"u.data": ".data", "ratings.dat": ".dat",
+              "ratings.csv": ".csv"}[fmt]
+    with tempfile.NamedTemporaryFile("w", suffix=suffix,
+                                     delete=False) as f:
+        f.write(content)
+        path = f.name
+    try:
+        d = load_ratings_file(path, cache=False)
+    finally:
+        os.unlink(path)
+    assert d["ratings"].shape[0] == n_obs, tag
+    # vocab maps dense -> original ids; round-trip every observation
+    np.testing.assert_array_equal(d["user_vocab"][d["users"]], uvocab[u],
+                                  err_msg=tag)
+    np.testing.assert_array_equal(d["item_vocab"][d["items"]], ivocab[i],
+                                  err_msg=tag)
+    np.testing.assert_allclose(d["ratings"], r, rtol=0, atol=1e-6,
+                               err_msg=tag)
+    assert d["n_users"] == np.unique(u).shape[0], tag
+    assert d["n_items"] == np.unique(i).shape[0], tag
+    return tag
+
+
 def main() -> int:
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     model = os.environ.get("FUZZ_MODEL", "als")
     fn = {"als": one_trial, "imc": one_imc_trial,
-          "hybrid2d": one_hybrid2d_trial}[model]
+          "hybrid2d": one_hybrid2d_trial, "parser": one_parser_trial}[model]
     rng = np.random.default_rng(seed)
     t0 = time.time()
     for t in range(n_trials):

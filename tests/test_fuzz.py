@@ -33,3 +33,15 @@ def test_fuzz_imc_smoke(cpu_mesh):
     rng = np.random.default_rng(3)
     for t in range(6):
         fuzz.one_imc_trial(rng, t)
+
+
+def test_fuzz_hybrid2d_smoke(cpu_mesh):
+    rng = np.random.default_rng(5)
+    for t in range(4):
+        fuzz.one_hybrid2d_trial(rng, t)
+
+
+def test_fuzz_parser_smoke():
+    rng = np.random.default_rng(7)
+    for t in range(25):
+        fuzz.one_parser_trial(rng, t)
