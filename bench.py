@@ -346,7 +346,7 @@ def main() -> None:
     V0 = 0.01 * rng.standard_normal((n_items, rank)).astype(np.float32)
 
     # warmup/compile (donated args => fresh copies per call)
-    _, _, sse = fit_fn(jnp.asarray(U0), jnp.asarray(V0))
+    _, _, sse, _ = fit_fn(jnp.asarray(U0), jnp.asarray(V0))
     _ = np.asarray(sse)
     U = jnp.asarray(U0)
     V = jnp.asarray(V0)
@@ -356,7 +356,7 @@ def main() -> None:
     # 83 MB/table)
     _ = np.asarray(U[0, 0]), np.asarray(V[0, 0])
     t1 = time.perf_counter()
-    U, V, sse = fit_fn(U, V)
+    U, V, sse, _ = fit_fn(U, V)
     sse_host = np.asarray(sse)  # dependent readback = the timing fence
     elapsed = time.perf_counter() - t1
     rows_per_sweep = n_users + n_items

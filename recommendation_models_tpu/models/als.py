@@ -104,11 +104,26 @@ class ALS(BaseEstimator):
 
     @property
     def _reg(self) -> float:
-        return self.reg if self.lambda_ is None else self.lambda_
+        if self.lambda_ is not None:
+            # loud conflict detection: a grid search sweeping `reg` while
+            # the alias is set would otherwise be a SILENT no-op (every
+            # candidate fitting the alias value)
+            if self.reg != 0.1 and self.reg != self.lambda_:
+                raise ValueError(
+                    f"both reg={self.reg} and its alias "
+                    f"lambda_={self.lambda_} are set; pass only one")
+            return self.lambda_
+        return self.reg
 
     @property
     def _n_sweeps(self) -> int:
-        return self.n_sweeps if self.max_iter is None else self.max_iter
+        if self.max_iter is not None:
+            if self.n_sweeps != 10 and self.n_sweeps != self.max_iter:
+                raise ValueError(
+                    f"both n_sweeps={self.n_sweeps} and its alias "
+                    f"max_iter={self.max_iter} are set; pass only one")
+            return self.max_iter
+        return self.n_sweeps
 
     # Fitted factor state. Sharded fits keep the tables DEVICE-RESIDENT on
     # the mesh (SURVEY.md §3.5/N9: serving routes through sharded_topk with
@@ -309,14 +324,12 @@ class ALS(BaseEstimator):
             fit_fn = make_scanned_fit(ub, ib, n_users, n_items, scfg,
                                       self._n_sweeps, tol=self.tol,
                                       nnz=max(nnz, 1))
-            U, V, sse = fit_fn(U, V)
-            sse_h = np.asarray(sse)
-            # -1.0 = sweep never ran (tol sentinel). Near-interpolation fits
-            # can return TINY negative SSE from f32 cancellation in the
-            # r2 - x.rhs - reg||x||^2 identity — those are real sweeps
-            # (clamped to 0), not sentinels (fuzz-found: a perfect fit came
-            # back with an empty history_).
-            sse_h = np.maximum(sse_h[sse_h > -0.5], 0.0)
+            U, V, sse, n_done = fit_fn(U, V)
+            # trim by the DEVICE-REPORTED sweep count (scale-safe), then
+            # clamp: near-interpolation fits can return tiny negative SSE
+            # from f32 cancellation in the r2 - x.rhs - reg||x||^2 identity
+            # (fuzz-found: a value-vs-sentinel compare misclassified them)
+            sse_h = np.maximum(np.asarray(sse)[: int(n_done)], 0.0)
             self.history_ = list(np.sqrt(sse_h / max(nnz, 1)))
         else:
             sweep, train_sse = make_sweep_fns(ub, ib, n_users, n_items, scfg)

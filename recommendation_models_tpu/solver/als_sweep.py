@@ -524,7 +524,7 @@ def make_scanned_fit(
 ):
     """One jitted program for the ENTIRE fit: ``lax.scan`` over sweeps.
 
-    Returns fit(U, V) -> (U, V, sse_history (n_sweeps,)). Keeping the sweep
+    Returns fit(U, V) -> (U, V, sse_history (n_sweeps,), n_done). Keeping the sweep
     loop on-device matters doubly on remote-attached TPUs where every host
     readback costs tens of ms of tunnel latency; the reference's per-sweep
     'compute train RMSE' (§3.1) becomes a device-side history read back once.
@@ -557,7 +557,7 @@ def make_scanned_fit(
             return (U, V), sse
 
         (U, V), sse = jax.lax.scan(body, (U, V), None, length=n_sweeps)
-        return U, V, sse
+        return U, V, sse, jnp.int32(n_sweeps)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def _fit_tol(U, V, ub, ib):
@@ -580,9 +580,13 @@ def make_scanned_fit(
             U, V, sse = one_sweep(U, V, ub, ib)
             return U, V, hist.at[i].set(sse), i + 1
 
-        U, V, hist, _ = jax.lax.while_loop(
+        U, V, hist, i = jax.lax.while_loop(
             cond, body, (U, V, hist0, jnp.int32(0)))
-        return U, V, hist
+        # i = sweeps actually run: the SCALE-SAFE truth for trimming the
+        # history (a sentinel-vs-value compare is not — near-interpolation
+        # identity-SSE cancellation error grows ~r2*eps and could cross
+        # any fixed cutoff at large nnz)
+        return U, V, hist, i
 
     def fit(U, V):
         if tol > 0:

@@ -127,6 +127,13 @@ def test_reference_name_aliases():
     mi = IMC(rank=3, lambda_=0.2, max_iter=2, cg_iters=10).fit(R, X, Y)
     mj = IMC(rank=3, reg=0.2, n_sweeps=2, cg_iters=10).fit(R, X, Y)
     np.testing.assert_array_equal(mi.W_, mj.W_)
+    # conflicting alias + canonical values raise LOUDLY: a grid search
+    # sweeping `reg` while lambda_ is set must not be a silent no-op
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="only one"):
+        ALS(rank=4, reg=0.7, lambda_=0.3).fit(R)
+    with _pytest.raises(ValueError, match="only one"):
+        ALS(rank=4, n_sweeps=5, max_iter=3).fit(R)
 
 
 def test_pickle_fitted_roundtrip():
