@@ -501,6 +501,44 @@ class ALS(BaseEstimator):
         items = np.asarray(items, np.int64)
         return np.einsum("ok,ok->o", self.U_[users], self.V_[items])
 
+    def fold_in(self, R_new, side: str = "user") -> np.ndarray:
+        """Factors for NEW rows against the FIXED fitted opposite table —
+        the standard ALS fold-in for serving fresh users (or items)
+        without a refit. One ridge solve per new row, batched through the
+        same jitted half-sweep machinery as training.
+
+        ``R_new``: (n_new, n_items) ratings for ``side='user'`` (columns
+        index the TRAINED item space), or (n_users, n_new) for
+        ``side='item'``. Returns the (n_new, rank) factor block; scoring
+        is then ``x_new @ V_.T`` (or ``U_ @ y_new.T``).
+        """
+        self._check_fitted()
+        if side not in ("user", "item"):
+            raise ValueError(f"side must be 'user' or 'item', got {side!r}")
+        from recommendation_models_tpu.solver.als_sweep import half_sweep
+        indptr, indices, data, a, b = csr_arrays(R_new)
+        if side == "item":
+            rows = np.repeat(np.arange(a), np.diff(indptr))
+            layout = layout_from_coo(
+                rows, indices, data, a, b,
+                DataConfig(dense_whales=False, hot_cols=0), transpose=True)
+            n_new, opp = b, jnp.asarray(self.U_)
+            if a != self.n_users_:
+                raise ValueError(f"R_new has {a} rows but the fitted user "
+                                 f"space is {self.n_users_}")
+        else:
+            layout = build_layout(
+                indptr, indices, data, a, b,
+                DataConfig(dense_whales=False, hot_cols=0))
+            n_new, opp = a, jnp.asarray(self.V_)
+            if b != self.n_items_:
+                raise ValueError(f"R_new has {b} columns but the fitted "
+                                 f"item space is {self.n_items_}")
+        buckets = device_buckets(layout)
+        cfg = self._solve_config()
+        x = half_sweep(opp, buckets, n_new, cfg)
+        return np.asarray(x)
+
     def predict_all(self, user: int) -> np.ndarray:
         """Scores for every item for one user (reference `predict_all`)."""
         self._check_fitted()

@@ -199,3 +199,36 @@ def test_dense_min_degree_auto_policy():
     m = ALS.from_configs(solve=SolveConfig(rank=128),
                          data=DataConfig(dense_min_degree=777))
     assert m._data_config().dense_min_degree == 777
+
+
+def test_fold_in_matches_oracle_half_sweep():
+    """fold_in solves new rows against the FIXED opposite table — per-row
+    it must equal the oracle's ridge solve (both objectives, both sides)."""
+    import scipy.sparse as sp
+    from tests.conftest import tiny_problem
+    from recommendation_models_tpu.oracle.als_numpy import OracleALS
+
+    R = tiny_problem(40, 30, density=0.4, seed=51)
+    rng = np.random.default_rng(4)
+    for alpha in (None, 3.0):
+        m = ALS(rank=5, reg=0.3, alpha=alpha, n_sweeps=3, seed=0).fit(R)
+        # new users rating the trained item space
+        mask = rng.random((6, 30)) < 0.5
+        Rn = sp.csr_matrix(np.where(mask, rng.integers(1, 11, mask.shape)
+                                    / 2.0, 0.0))
+        x = m.fold_in(Rn, side="user")
+        o = OracleALS(rank=5, reg=0.3, alpha=alpha)
+        ref = o.half_sweep(Rn, np.asarray(m.V_, np.float64))
+        np.testing.assert_allclose(x, ref, rtol=2e-4, atol=2e-5)
+        # new items rated by the trained user space
+        Rni = sp.csr_matrix(np.where(rng.random((40, 4)) < 0.5,
+                                     rng.integers(1, 11, (40, 4)) / 2.0,
+                                     0.0))
+        y = m.fold_in(Rni, side="item")
+        ref_i = o.half_sweep(sp.csr_matrix(Rni.T),
+                             np.asarray(m.U_, np.float64))
+        np.testing.assert_allclose(y, ref_i, rtol=2e-4, atol=2e-5)
+    # dimension mismatch is loud
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="item space"):
+        m.fold_in(sp.csr_matrix(np.ones((3, 7))), side="user")
