@@ -61,16 +61,30 @@ def solve_spd(G: jnp.ndarray, rhs: jnp.ndarray, solver: str = "xla") -> jnp.ndar
         if pallas_supported(G.shape[-1], G.shape[0] if G.ndim == 3 else 1):
             return cholesky_solve(G, rhs)
         solver = "xla"   # multi-block k>160: Mosaic lane limit (cholesky.py)
-    if solver == "lu":
-        return jnp.linalg.solve(G, rhs[..., None])[..., 0]
-    if solver != "xla":
+    if solver not in ("lu", "xla"):
         raise ValueError(f"unknown solver {solver!r}")
-    L = jnp.linalg.cholesky(G)
-    y = jax.lax.linalg.triangular_solve(
-        L, rhs[..., None], left_side=True, lower=True, transpose_a=False)
-    x = jax.lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True)
-    return x[..., 0]
+    # TPU's triangular_solve/LU lowerings stage ~2x the batch block in
+    # scoped vmem (16 MB, not raisable): even (b=308, k=88) blew it on
+    # v5e (shape-fuzz-found). Chunk the batch so each call stays bounded —
+    # this is the robustness anchor/fallback path, not a tuned one.
+    def _solve_block(Gb, rb):
+        if solver == "lu":
+            return jnp.linalg.solve(Gb, rb[..., None])[..., 0]
+        L = jnp.linalg.cholesky(Gb)
+        y = jax.lax.linalg.triangular_solve(
+            L, rb[..., None], left_side=True, lower=True, transpose_a=False)
+        x = jax.lax.linalg.triangular_solve(
+            L, y, left_side=True, lower=True, transpose_a=True)
+        return x[..., 0]
+
+    if G.ndim == 3 and _default_platform() == "tpu":
+        b, k = G.shape[0], G.shape[-1]
+        bc = max(8, (6 * 2**20) // (k * k * 8) // 8 * 8)
+        if b > bc:
+            return jnp.concatenate(
+                [_solve_block(G[s:s + bc], rhs[s:s + bc])
+                 for s in range(0, b, bc)], axis=0)
+    return _solve_block(G, rhs)
 
 
 def solve_spd_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
