@@ -84,20 +84,28 @@ def _solve_factor(F, Z, buckets, n_rows, M0, reg, cg_iters, psum_axis=None):
     def _psum(v):
         return jax.lax.psum(v, psum_axis) if psum_axis else v
 
-    b = _psum(F.T @ RHS)
+    # HIGHEST: TPU f32 dots at DEFAULT precision run as ONE bf16 pass
+    # (CLAUDE.md discipline) — fine for a single gram/score pass, but CG
+    # iterates against A and needs a CONSISTENT, accurate operator; the
+    # per-iteration bf16 perturbation stalled convergence well above the
+    # f64 oracle (measured at ML-1M-scale: train objective up to ~2x).
+    HI = jax.lax.Precision.HIGHEST
+
+    b = _psum(jnp.matmul(F.T, RHS, precision=HI))
     r2 = _psum(r2)
 
     def matvec(Mf):
         M = Mf.reshape(M0.shape)
-        T = F @ M                                  # dense tower (MXU)
+        T = jnp.matmul(F, M, precision=HI)          # dense tower (MXU)
         T = jnp.einsum("ukl,uk->ul", G, T,
-                       preferred_element_type=jnp.float32)
-        return (_psum(F.T @ T) + reg * M).ravel()
+                       preferred_element_type=jnp.float32, precision=HI)
+        return (_psum(jnp.matmul(F.T, T, precision=HI)) + reg * M).ravel()
 
     M = _cg(matvec, b.ravel(), M0.ravel(), cg_iters).reshape(M0.shape)
-    T = F @ M
+    T = jnp.matmul(F, M, precision=HI)
     quad = _psum(jnp.einsum("uk,ukl,ul->", T, G, T,
-                            preferred_element_type=jnp.float32))
+                            preferred_element_type=jnp.float32,
+                            precision=HI))
     sse = r2 - 2.0 * jnp.vdot(b, M) + quad
     return M, sse
 
@@ -125,8 +133,17 @@ def _imc_program(reg, cg_iters, n_sweeps, n_users, n_items):
     return fit_all
 
 
-def _cg(matvec, b, x0, iters):
-    """Plain CG, jit-friendly (fixed iteration count via fori_loop)."""
+def _cg(matvec, b, x0, iters, restart: int = 16):
+    """CG with periodic TRUE-residual restarts, jit-friendly.
+
+    In f32 the residual recurrence drifts from ``b - A x`` (loss of
+    orthogonality), plateauing the solve well above what the same
+    iteration count reaches in f64 — measured at ML-1M-scale IMC, the
+    plateau left the train objective up to ~2x the f64 oracle's while
+    matched-iteration RESTARTED f32 CG tracks it closely. Every
+    ``restart`` steps the recurrence residual is replaced by the true one
+    (one extra matvec per restart, ~6% more work at restart=16).
+    """
     def body(_, carry):
         x, r, p, rs = carry
         Ap = matvec(p)
@@ -139,9 +156,15 @@ def _cg(matvec, b, x0, iters):
         p = r + beta * p
         return x, r, p, rs_new
 
-    r0 = b - matvec(x0)
-    out = jax.lax.fori_loop(0, iters, body, (x0, r0, r0, jnp.vdot(r0, r0)))
-    return out[0]
+    def restarted(x):
+        r0 = b - matvec(x)
+        return jax.lax.fori_loop(
+            0, restart, body, (x, r0, r0, jnp.vdot(r0, r0)))[0]
+
+    x = x0
+    for _ in range(-(-iters // restart)):
+        x = restarted(x)
+    return x
 
 
 class IMC(BaseEstimator):
