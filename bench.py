@@ -27,6 +27,84 @@ import time
 
 import numpy as np
 
+# ---------------------------------------------------------------------------
+# Flake-proofing (VERDICT r3 task 1). The remote-attached TPU tunnel (axon)
+# wedges transiently and "comes back on its own" (CLAUDE.md); BENCH_r03 was
+# lost to a single UNAVAILABLE raised from the first H2D placement. Every
+# device phase therefore runs under a bounded retry with backend re-init, and
+# the final failure still emits the one-line JSON (with an "error" field) so
+# the driver always captures a parseable record.
+# ---------------------------------------------------------------------------
+
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED", "INTERNAL",
+    "Unable to initialize backend", "backend setup", "Socket closed",
+    "Connection reset", "connection", "tunnel",
+)
+
+
+def _is_transient(exc: BaseException) -> bool:
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(m in msg for m in _TRANSIENT_MARKERS)
+
+
+def _reset_backend() -> None:
+    """Drop live PJRT clients + compile caches so the next device call
+    re-dials the tunnel (it reconnects on a fresh port each time)."""
+    import jax
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
+    for clear in ("jax.extend.backend.clear_backends",
+                  "jax._src.xla_bridge._clear_backends"):
+        mod_name, _, fn_name = clear.rpartition(".")
+        try:
+            import importlib
+            fn = getattr(importlib.import_module(mod_name), fn_name)
+            fn()
+            return
+        except Exception:
+            continue
+
+
+def run_with_retry(fn, attempts=None, backoffs=(60.0, 120.0),
+                   sleep=time.sleep, reset=_reset_backend):
+    """Run ``fn()`` with bounded retries on transient device errors.
+
+    Non-transient errors propagate immediately. On each transient failure
+    (except the last attempt) the backend is re-initialized and we back off
+    ``backoffs[i]`` seconds (last entry reused if attempts exceed it).
+    """
+    attempts = attempts or int(os.environ.get("BENCH_RETRIES", "3"))
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — filtered by _is_transient
+            if not _is_transient(e) or i == attempts - 1:
+                raise
+            wait = backoffs[min(i, len(backoffs) - 1)]
+            print(f"# transient device error (attempt {i + 1}/{attempts}), "
+                  f"retrying in {wait:.0f}s: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            reset()
+            sleep(wait)
+
+
+def emit_error_record(exc: BaseException) -> None:
+    """Last-resort parseable record: the driver's capture must never be
+    rc-only (BENCH_r03 was lost as ``parsed: null``)."""
+    print(json.dumps({
+        "metric": "bench_failed",
+        "value": 0.0,
+        "unit": "error",
+        "vs_baseline": 0.0,
+        "error": f"{type(exc).__name__}: {str(exc)[:500]}",
+    }))
+
+
+_LAYOUT_MEMO: dict = {}
+
 SCALES = {
     # n_users, n_items, n_obs
     "synth100m": (500_000, 200_000, 100_000_000),
@@ -276,15 +354,23 @@ def main() -> None:
 
     # BENCH_LAYOUT_CACHE=<dir> caches the built layouts per (scale, layout
     # policy) — the synth100m host-side build is minutes, and perf ablations
-    # re-run the same layouts dozens of times.
+    # re-run the same layouts dozens of times. _LAYOUT_MEMO additionally
+    # keeps them in-process so a transient-error retry (run_with_retry)
+    # skips the rebuild.
+    memo_key = (scale, dcfg.hot_cols, dcfg.dense_min_degree,
+                dcfg.bucket_growth)
+
     def build_layouts():
+        if memo_key in _LAYOUT_MEMO:
+            return _LAYOUT_MEMO[memo_key]
         users, items, ratings = synthetic_ratings(
             n_users, n_items, n_obs, rank=16, seed=0)
         ul = layout_from_coo(users, items, ratings, n_users, n_items,
                              config=dcfg)
         il = layout_from_coo(users, items, ratings, n_users, n_items,
                              transpose=True, config=dcfg)
-        return users, items, ratings, ul, il
+        _LAYOUT_MEMO[memo_key] = (users, items, ratings, ul, il)
+        return _LAYOUT_MEMO[memo_key]
 
     cache_dir = os.environ.get("BENCH_LAYOUT_CACHE")
     if cache_dir:
@@ -407,5 +493,15 @@ def main() -> None:
     }))
 
 
+def cli() -> None:
+    """Driver entry: bounded retry over the whole bench (the layout memo
+    makes attempt 2+ skip the host-side build); ALWAYS emits one JSON line."""
+    try:
+        run_with_retry(main)
+    except Exception as e:  # noqa: BLE001 — the record is the contract
+        emit_error_record(e)
+        raise SystemExit(0)  # parseable record > rc; the error field flags it
+
+
 if __name__ == "__main__":
-    main()
+    cli()

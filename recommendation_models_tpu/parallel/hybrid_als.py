@@ -146,9 +146,12 @@ class HybridALSProgram:
                      values=b["values"][0, 0], mask=b["mask"][0, 0])
                 for b in buckets)
 
-        def half(V_loc, buckets, rows_local):
+        def half(V_loc, buckets, rows_local, return_gathered=False):
             """One orientation's half-sweep on this device; the solve runs
-            replicated across 'dcn' on identical psum'd systems."""
+            replicated across 'dcn' on identical psum'd systems.
+            ``return_gathered`` also hands back the intra-slice gathered
+            opposite table so a post-sweep SSE can reuse it (zero extra
+            collectives — VERDICT r3 task 3)."""
             from recommendation_models_tpu.solver.als_sweep import (
                 resolve_gather_budget)
             k = V_loc.shape[-1]
@@ -218,12 +221,25 @@ class HybridALSProgram:
                 G = G + g0.reshape(-1)[None, :]
             x = solve_spd_flat(G[:rows_local], rhs[:rows_local], k,
                                cfg.solver, reg_vec=reg_vec[:rows_local])
+            if return_gathered:
+                return x, V_full
             return x
 
         def sweep_body(U_loc, V_loc, ub, ib):
             U_new = half(V_loc, ub, upr)
             V_new = half(U_new, ib, ipr)
             return U_new, V_new
+
+        def sweep_sse_body(U_loc, V_loc, ub, ib):
+            from recommendation_models_tpu.solver.als_sweep import masked_sse
+            U_new = half(V_loc, ub, upr)
+            V_new, U_full = half(U_new, ib, ipr, return_gathered=True)
+            # post-sweep residual over the ITEM orientation's local
+            # observation subset, reusing the item half's gathered U — the
+            # only extra collective is the scalar double psum
+            s = masked_sse(V_new, U_full, local(ib), chunk=cfg.chunk,
+                           gather_budget_mb=cfg.gather_budget_mb)
+            return U_new, V_new, jax.lax.psum(jax.lax.psum(s, data), dcn)
 
         def sse_body(U_loc, V_loc, ub):
             from recommendation_models_tpu.solver.als_sweep import masked_sse
@@ -234,6 +250,12 @@ class HybridALSProgram:
             # psum is the global residual
             return jax.lax.psum(jax.lax.psum(s, data), dcn)
 
+        self._sweep_sse_sm = shard_map(
+            sweep_sse_body, mesh=mesh,
+            in_specs=(table_spec, table_spec, bspec_u, bspec_i),
+            out_specs=(table_spec, table_spec, P()),
+            check_vma=False,
+        )
         self._sweep = jax.jit(shard_map(
             sweep_body, mesh=mesh,
             in_specs=(table_spec, table_spec, bspec_u, bspec_i),
@@ -277,8 +299,25 @@ class HybridALSProgram:
     def sweep(self, U, V):
         return self._sweep(U, V, self._ub, self._ib)
 
+    def sweep_with_sse(self, U, V):
+        """One sweep + the post-sweep global SSE (reuses the item half's
+        intra-slice gather; only a scalar psum extra)."""
+        if not hasattr(self, "_sweep_sse_jit"):
+            self._sweep_sse_jit = jax.jit(self._sweep_sse_sm,
+                                          donate_argnums=(0, 1))
+        return self._sweep_sse_jit(U, V, self._ub, self._ib)
+
     def train_sse(self, U, V):
         return self._sse(U, V, self._ub)
+
+    def make_fit(self, n_sweeps: int, tol: float = 0.0, nnz: int = 1):
+        """The whole 2-D hybrid fit as ONE jitted device program (scan over
+        sweeps / device-side tol while_loop); same contract as
+        ``ShardedALSProgram.make_fit``."""
+        from recommendation_models_tpu.solver.als_sweep import (
+            make_scanned_program_fit)
+        return make_scanned_program_fit(
+            self._sweep_sse_sm, n_sweeps, tol, nnz, (self._ub, self._ib))
 
     def collective_bytes_per_sweep(self):
         """Analytic per-DEVICE bytes per sweep, split by fabric: the

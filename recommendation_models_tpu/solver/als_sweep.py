@@ -596,5 +596,60 @@ def make_scanned_fit(
     return fit
 
 
+def make_scanned_program_fit(sweep_sse, n_sweeps: int, tol: float, nnz: int,
+                             extra: tuple):
+    """Generic whole-fit-as-one-device-program wrapper (VERDICT r3 task 3).
+
+    ``sweep_sse(U, V, *extra) -> (U, V, sse)`` is any traceable sweep (the
+    sharded / hybrid programs pass their shard_mapped sweep+SSE body);
+    ``extra`` carries the bucket/plan pytrees as JIT ARGUMENTS so the big
+    index/value blocks are not baked into the executable as constants.
+
+    Returns ``fit(U, V) -> (U, V, sse_history (n_sweeps,), n_done)`` with
+    the same contract as ``make_scanned_fit``: zero per-sweep host
+    readbacks, tol evaluated device-side in a ``lax.while_loop``, sweeps
+    never run left as -1 in the history.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _fit(U, V, *extra):
+        def body(carry, _):
+            U, V = carry
+            U, V, sse = sweep_sse(U, V, *extra)
+            return (U, V), sse
+
+        (U, V), sse = jax.lax.scan(body, (U, V), None, length=n_sweeps)
+        return U, V, sse, jnp.int32(n_sweeps)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _fit_tol(U, V, *extra):
+        hist0 = jnp.full((n_sweeps,), -1.0, jnp.float32)  # -1 = not run
+
+        def cond(carry):
+            _, _, hist, i = carry
+            prev = jnp.sqrt(jnp.maximum(hist[jnp.maximum(i - 2, 0)], 0.0)
+                            / nnz)
+            cur = jnp.sqrt(jnp.maximum(hist[jnp.maximum(i - 1, 0)], 0.0)
+                           / nnz)
+            improving = jnp.logical_or(i < 2, jnp.abs(prev - cur) >= tol)
+            return jnp.logical_and(i < n_sweeps, improving)
+
+        def body(carry):
+            U, V, hist, i = carry
+            U, V, sse = sweep_sse(U, V, *extra)
+            return U, V, hist.at[i].set(sse), i + 1
+
+        U, V, hist, i = jax.lax.while_loop(
+            cond, body, (U, V, hist0, jnp.int32(0)))
+        return U, V, hist, i
+
+    def fit(U, V):
+        if tol > 0:
+            return _fit_tol(U, V, *extra)
+        return _fit(U, V, *extra)
+
+    return fit
+
+
 __all__ = ["DeviceBuckets", "device_buckets", "half_sweep", "masked_sse",
            "make_sweep_fns", "make_scanned_fit"]
