@@ -33,14 +33,12 @@ class SolveConfig:
     # NO row-block scan at all, memory permitting). 0 = auto, resolved per
     # consumer by solver.als_sweep.resolve_gather_budget (rank-, size- and
     # sse-aware).
+    # NOTE: there is deliberately no resolved-budget property here — the
+    # auto policy is rank- AND size-gated (the unsplit k>64 mode OOMs at
+    # 100M-obs scale) and needs the actual bucket volume; every consumer
+    # resolves through solver.als_sweep.resolve_gather_budget (ADVICE r3:
+    # the old property skipped the nnz gate).
     gather_budget_mb: int = 0
-
-    @property
-    def gather_budget(self) -> int:
-        """The resolved row-block budget in MB (0 = rank-aware auto)."""
-        if self.gather_budget_mb:
-            return self.gather_budget_mb
-        return gather_budget_for_rank(self.rank)
     # 'auto' = pallas on TPU / xla elsewhere; 'xla' = jnp.linalg.cholesky +
     # triangular solves (correctness anchor); 'pallas' = fused Pallas kernel;
     # 'lu' = jnp.linalg.solve fallback for ill-conditioned tests.
@@ -75,6 +73,12 @@ class MeshConfig:
     # Multislice pods: slice-major device ordering so ring collectives cross
     # DCN only at the num_slices slice boundaries (parallel.mesh.get_mesh).
     num_slices: Optional[int] = None
+    # '1d' (default): slice-major table sharding over all devices.
+    # 'obs_parallel': the explicit 2-D (dcn x data) hierarchy — rows
+    # sharded within a slice, observations split across slices, per-row
+    # normal equations psum'd over DCN (parallel.hybrid_als; wins only in
+    # the few-rows x huge-degree regime — parallel.scaling.choose_topology).
+    topology: str = "1d"
     # Optional explicit platform ('cpu' to force the host mesh in tests).
     platform: Optional[str] = None
 

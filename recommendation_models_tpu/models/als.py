@@ -41,9 +41,9 @@ class ALS(BaseEstimator):
     def __init__(
         self,
         rank: int = 10,
-        reg: float = 0.1,
+        reg: Optional[float] = None,        # None => 0.1 (alias sentinel)
         alpha: Optional[float] = None,
-        n_sweeps: int = 10,
+        n_sweeps: Optional[int] = None,     # None => 10 (alias sentinel)
         tol: float = 0.0,
         reg_by_degree: bool = False,
         solver: str = "auto",
@@ -52,6 +52,7 @@ class ALS(BaseEstimator):
         compute_dtype: str = "auto",
         n_shards: Optional[int] = None,
         num_slices: Optional[int] = None,
+        topology: str = "1d",
         exchange: str = "allgather",
         exchange_head: Optional[int] = None,
         platform: Optional[str] = None,
@@ -81,6 +82,7 @@ class ALS(BaseEstimator):
         self.compute_dtype = compute_dtype
         self.n_shards = n_shards
         self.num_slices = num_slices
+        self.topology = topology
         self.exchange = exchange
         self.exchange_head = exchange_head
         self.platform = platform
@@ -102,28 +104,20 @@ class ALS(BaseEstimator):
         self.lambda_ = lambda_
         self.max_iter = max_iter
 
+    # loud alias conflict detection via None sentinels: an explicitly
+    # passed value (even the documented default) is distinguishable, so a
+    # grid search sweeping `reg` while the alias is set can never be a
+    # silent no-op (models.base.resolve_alias)
     @property
     def _reg(self) -> float:
-        if self.lambda_ is not None:
-            # loud conflict detection: a grid search sweeping `reg` while
-            # the alias is set would otherwise be a SILENT no-op (every
-            # candidate fitting the alias value)
-            if self.reg != 0.1 and self.reg != self.lambda_:
-                raise ValueError(
-                    f"both reg={self.reg} and its alias "
-                    f"lambda_={self.lambda_} are set; pass only one")
-            return self.lambda_
-        return self.reg
+        from recommendation_models_tpu.models.base import resolve_alias
+        return resolve_alias(self.reg, self.lambda_, 0.1, "reg", "lambda_")
 
     @property
     def _n_sweeps(self) -> int:
-        if self.max_iter is not None:
-            if self.n_sweeps != 10 and self.n_sweeps != self.max_iter:
-                raise ValueError(
-                    f"both n_sweeps={self.n_sweeps} and its alias "
-                    f"max_iter={self.max_iter} are set; pass only one")
-            return self.max_iter
-        return self.n_sweeps
+        from recommendation_models_tpu.models.base import resolve_alias
+        return resolve_alias(self.n_sweeps, self.max_iter, 10,
+                             "n_sweeps", "max_iter")
 
     # Fitted factor state. Sharded fits keep the tables DEVICE-RESIDENT on
     # the mesh (SURVEY.md §3.5/N9: serving routes through sharded_topk with
@@ -177,6 +171,7 @@ class ALS(BaseEstimator):
             chunk=solve.chunk, gather_budget_mb=solve.gather_budget_mb,
             compute_dtype=solve.compute_dtype,
             n_shards=mesh.n_shards, num_slices=mesh.num_slices,
+            topology=mesh.topology,
             exchange=mesh.exchange, exchange_head=mesh.exchange_head,
             platform=mesh.platform,
             min_bucket=data.min_bucket, max_bucket=data.max_bucket,
@@ -357,6 +352,13 @@ class ALS(BaseEstimator):
 
         n_users, n_items = self.n_users_, self.n_items_
         nnz = indices.shape[0]
+        if self.topology not in ("1d", "obs_parallel"):
+            raise ValueError(
+                f"topology must be '1d' or 'obs_parallel', got "
+                f"{self.topology!r}")
+        if self.topology == "obs_parallel":
+            return self._fit_hybrid_2d(indptr, indices, data, U0, V0,
+                                       dcfg, scfg)
         mesh = get_mesh(self.n_shards, platform=self.platform,
                         num_slices=self.num_slices)
         import dataclasses
@@ -434,6 +436,88 @@ class ALS(BaseEstimator):
         # materialize lazily for the estimator surface
         self._U_dev, self._V_dev = U, V
         self._U_host = self._V_host = None
+        return self
+
+    def _fit_hybrid_2d(self, indptr, indices, data, U0, V0, dcfg, scfg):
+        """Observation-parallel 2-D (dcn x data) fit (SURVEY.md N6;
+        VERDICT r3 task 6: the library-level ``HybridALSProgram`` gets a
+        user surface). For the few-rows x huge-degree regime where
+        replicating per-row normal equations over DCN undercuts
+        replicating the opposite table (parallel.hybrid_als module
+        docstring; ``parallel.scaling.choose_topology`` quantifies).
+
+        ``n_shards`` = TOTAL devices, split as (dcn=num_slices,
+        data=n_shards // num_slices)."""
+        import dataclasses
+        from recommendation_models_tpu.parallel.hybrid_als import (
+            HybridALSProgram)
+        from recommendation_models_tpu.parallel.mesh import (
+            get_hybrid_mesh, to_host)
+
+        if self.exchange != "allgather":
+            raise ValueError(
+                "topology='obs_parallel' has its own comm pattern (intra-"
+                "slice gathers + DCN gram psum); exchange modes apply to "
+                "the 1-D topology only")
+        n_users, n_items = self.n_users_, self.n_items_
+        nnz = indices.shape[0]
+        D = self.num_slices or 1
+        if self.n_shards % D:
+            raise ValueError(
+                f"n_shards={self.n_shards} must be divisible by "
+                f"num_slices={D} for the 2-D (dcn x data) mesh")
+        S = self.n_shards // D
+        mesh = get_hybrid_mesh(self.n_shards, num_slices=D,
+                               platform=self.platform)
+        # dense-whale / hot-column blocks need the full opposite table per
+        # device — unsupported here by construction (hybrid_als docstring)
+        dcfg = dataclasses.replace(dcfg, dense_whales=False, hot_cols=0)
+        ul, il = self._build_layouts(indptr, indices, data, n_users,
+                                     n_items, dcfg)
+        prog = HybridALSProgram(shard_layout(ul, S), shard_layout(il, S),
+                                mesh, scfg)
+        self._sharded_program = None     # serving goes through host tables
+        self.exchange_bytes_per_sweep_ = prog.collective_bytes_per_sweep()
+        if self.verbose:
+            b = self.exchange_bytes_per_sweep_
+            print(f"[ALS] obs-parallel 2-D mesh (dcn={D} x data={S}): "
+                  f"{b['ici'] / 2**20:.2f} MiB ICI + "
+                  f"{b['dcn'] / 2**20:.2f} MiB DCN /device/sweep")
+
+        if U0 is not None and V0 is not None:
+            U, V = prog.place_factors(U0, V0)
+        else:
+            U, V = prog.init_factors(self.seed, self.init_scale)
+
+        stepwise = ((self.checkpoint_dir and self.checkpoint_every)
+                    or self.verbose)
+        if not stepwise:
+            fit_fn = prog.make_fit(self._n_sweeps, tol=self.tol,
+                                   nnz=max(nnz, 1))
+            U, V, sse, n_done = fit_fn(U, V)
+            sse_h = np.maximum(np.asarray(sse)[: int(n_done)], 0.0)
+            self.history_ = list(np.sqrt(sse_h / max(nnz, 1)))
+        else:
+            self.history_ = []
+            prev = None
+            for s in range(self._n_sweeps):
+                U, V, sse = prog.sweep_with_sse(U, V)
+                cur = float(jnp.sqrt(jnp.maximum(sse, 0.0) / max(nnz, 1)))
+                self.history_.append(cur)
+                if self.verbose:
+                    print(f"[ALS] sweep {s + 1}: train_rmse={cur:.6f}")
+                self._maybe_checkpoint(s, U, V)
+                if (self.tol > 0 and prev is not None
+                        and abs(prev - cur) < self.tol):
+                    break
+                prev = cur
+
+        self._finish_checkpoints()
+        # factors replicated across 'dcn', sharded over 'data': materialize
+        # to host (serving reuses the single-device top-k path; the 2-D
+        # mesh exists for training's comm pattern, not retrieval's)
+        self.U_ = to_host(U)[:n_users]
+        self.V_ = to_host(V)[:n_items]
         return self
 
     def _finish_checkpoints(self):

@@ -38,4 +38,22 @@ except ImportError:  # pragma: no cover - sklearn is baked into this image
             return self
 
 
-__all__ = ["BaseEstimator"]
+def resolve_alias(primary, alias, default, primary_name, alias_name):
+    """Resolve a reference-name kwarg alias pair with watertight conflict
+    detection (ADVICE r3: a literal-default guard let
+    ``ALS(reg=0.1, lambda_=0.5)`` silently train with 0.5).
+
+    ``primary`` uses a ``None`` sentinel default so an explicitly-passed
+    value — even one equal to the documented default — is distinguishable.
+    Setting both to different values raises; setting either alone works.
+    """
+    if alias is None:
+        return default if primary is None else primary
+    if primary is not None and primary != alias:
+        raise ValueError(
+            f"both {primary_name}={primary} and its alias "
+            f"{alias_name}={alias} are set; pass only one")
+    return alias
+
+
+__all__ = ["BaseEstimator", "resolve_alias"]

@@ -141,8 +141,12 @@ def _cg(matvec, b, x0, iters, restart: int = 16):
     iteration count reaches in f64 — measured at ML-1M-scale IMC, the
     plateau left the train objective up to ~2x the f64 oracle's while
     matched-iteration RESTARTED f32 CG tracks it closely. Every
-    ``restart`` steps the recurrence residual is replaced by the true one
-    (one extra matvec per restart, ~6% more work at restart=16).
+    ``restart`` steps the recurrence residual is replaced by the true one.
+
+    Runs EXACTLY ``iters`` CG steps (the final block is ``iters % restart``
+    long — ADVICE r3: the old version rounded up, over-running cg_iters by
+    up to restart-1 steps), plus one true-residual matvec per block:
+    ``ceil(iters / restart)`` extra matvecs total (~6% at restart=16).
     """
     def body(_, carry):
         x, r, p, rs = carry
@@ -156,15 +160,25 @@ def _cg(matvec, b, x0, iters, restart: int = 16):
         p = r + beta * p
         return x, r, p, rs_new
 
-    def restarted(x):
+    def restarted(x, length):
         r0 = b - matvec(x)
         return jax.lax.fori_loop(
-            0, restart, body, (x, r0, r0, jnp.vdot(r0, r0)))[0]
+            0, length, body, (x, r0, r0, jnp.vdot(r0, r0)))[0]
 
     x = x0
-    for _ in range(-(-iters // restart)):
-        x = restarted(x)
+    done = 0
+    while done < iters:
+        step = min(restart, iters - done)
+        x = restarted(x, step)
+        done += step
     return x
+
+
+def cg_matvec_count(iters: int, restart: int = 16) -> int:
+    """Matvecs one ``_cg`` call performs: ``iters`` CG steps plus one
+    true-residual matvec per restart block (used by the sharded traffic
+    accounting)."""
+    return iters + -(-iters // restart)
 
 
 class IMC(BaseEstimator):
@@ -173,8 +187,8 @@ class IMC(BaseEstimator):
     def __init__(
         self,
         rank: int = 8,
-        reg: float = 0.1,
-        n_sweeps: int = 10,
+        reg: Optional[float] = None,        # None => 0.1 (alias sentinel)
+        n_sweeps: Optional[int] = None,     # None => 10 (alias sentinel)
         tol: float = 0.0,
         cg_iters: int = 50,
         seed: int = 0,
@@ -207,28 +221,17 @@ class IMC(BaseEstimator):
         self.lambda_ = lambda_
         self.max_iter = max_iter
 
+    # None-sentinel alias resolution shared with ALS (models.base)
     @property
     def _reg(self) -> float:
-        if self.lambda_ is not None:
-            # loud conflict detection: a grid search sweeping `reg` while
-            # the alias is set would otherwise be a SILENT no-op (every
-            # candidate fitting the alias value)
-            if self.reg != 0.1 and self.reg != self.lambda_:
-                raise ValueError(
-                    f"both reg={self.reg} and its alias "
-                    f"lambda_={self.lambda_} are set; pass only one")
-            return self.lambda_
-        return self.reg
+        from recommendation_models_tpu.models.base import resolve_alias
+        return resolve_alias(self.reg, self.lambda_, 0.1, "reg", "lambda_")
 
     @property
     def _n_sweeps(self) -> int:
-        if self.max_iter is not None:
-            if self.n_sweeps != 10 and self.n_sweeps != self.max_iter:
-                raise ValueError(
-                    f"both n_sweeps={self.n_sweeps} and its alias "
-                    f"max_iter={self.max_iter} are set; pass only one")
-            return self.max_iter
-        return self.n_sweeps
+        from recommendation_models_tpu.models.base import resolve_alias
+        return resolve_alias(self.n_sweeps, self.max_iter, 10,
+                             "n_sweeps", "max_iter")
 
     # ------------------------------------------------------------------
     def _build_layouts(self, users, items, ratings, n_users, n_items, dcfg):
@@ -421,18 +424,24 @@ class IMC(BaseEstimator):
                                  indices=b["indices"][0],
                                  values=b["values"][0], mask=b["mask"][0])
                             for b in ib)
-                # Z/S towers must be GLOBAL tables: gram col ids are global
-                Y_full = jax.lax.all_gather(Y_loc, axis, axis=0, tiled=True)
-                X_full = jax.lax.all_gather(X_loc, axis, axis=0, tiled=True)
 
                 def sweep_body(carry, _):
                     W, H = carry
-                    W, _ = _solve_factor(X_loc, (Y_full @ H)[:n_items],
-                                         ubl, X_loc.shape[0], W, reg_,
-                                         cg_, psum_axis=axis)
-                    H, sse = _solve_factor(Y_loc, (X_full @ W)[:n_users],
-                                           ibl, Y_loc.shape[0], H, reg_,
-                                           cg_, psum_axis=axis)
+                    # Z/S towers must be GLOBAL tables (gram col ids are
+                    # global) — project LOCAL feature rows then all_gather
+                    # the (rows_local, k) results: the gathered bytes are
+                    # rank-wide instead of feature-wide and the projection
+                    # matmul shrinks S-fold (VERDICT r3 task 5b; per-row
+                    # dots are row-independent, so this is bitwise the old
+                    # full-table projection)
+                    Z = jax.lax.all_gather(Y_loc @ H, axis, axis=0,
+                                           tiled=True)[:n_items]
+                    W, _ = _solve_factor(X_loc, Z, ubl, X_loc.shape[0],
+                                         W, reg_, cg_, psum_axis=axis)
+                    Sx = jax.lax.all_gather(X_loc @ W, axis, axis=0,
+                                            tiled=True)[:n_users]
+                    H, sse = _solve_factor(Y_loc, Sx, ibl, Y_loc.shape[0],
+                                           H, reg_, cg_, psum_axis=axis)
                     obj = (0.5 * sse + 0.5 * reg_
                            * (jnp.sum(W ** 2) + jnp.sum(H ** 2)))
                     return (W, H), obj
@@ -450,6 +459,28 @@ class IMC(BaseEstimator):
                 check_vma=False,
             )
             return jax.jit(sm)
+
+        # analytic per-shard collective traffic per sweep (VERDICT r3 task
+        # 5a — parity with ALS's exchange_bytes_per_sweep_). Per half-step:
+        # one tiled all_gather of the LOCAL (rows, k) projection, then the
+        # dense (d, k) psums — b once, one per CG matvec (incl. the
+        # per-restart true-residual matvecs), plus two scalars (r2, quad).
+        # Ring all-reduce identity 2(S-1)/S * bytes for psums; all_gather
+        # receives (S-1) shard blocks.
+        k = self.rank
+        mv = cg_matvec_count(cg_)
+        ring = 2 * (S - 1) / S
+
+        def half_bytes(rows_per_shard, d):
+            gather = (S - 1) * rows_per_shard * k * 4
+            psum = int(ring * 4 * (d * k * (mv + 1) + 2))
+            return gather + psum
+
+        self.exchange_bytes_per_sweep_ = out = {
+            "w_step": half_bytes(il.rows_per_shard, X.shape[1]),
+            "h_step": half_bytes(ul.rows_per_shard, Y.shape[1]),
+        }
+        out["per_sweep_total"] = out["w_step"] + out["h_step"]
 
         def run_sweeps(W, H, length):
             return make_prog(length)(repl_put(W), repl_put(H),
@@ -558,10 +589,17 @@ class IMC(BaseEstimator):
             Veff = jnp.asarray(Y @ self.H_)
         else:
             # serving loops call recommend() repeatedly against the training
-            # catalog: project Y @ H_ once and reuse (VERDICT r2 weak item 2)
-            if getattr(self, "_veff_cache", None) is None:
-                self._veff_cache = jnp.asarray(self._Y @ self.H_)
-            Veff = self._veff_cache
+            # catalog: project Y @ H_ once and reuse (VERDICT r2 weak item
+            # 2). Keyed on the identity of (H_, _Y) — ANY path that swaps
+            # either (manual assignment, future load APIs) invalidates
+            # without needing an explicit reset (ADVICE r3). The cache
+            # HOLDS the key arrays, so their ids can't be recycled.
+            cache = getattr(self, "_veff_cache", None)
+            if (cache is None or cache[0] is not self.H_
+                    or cache[1] is not self._Y):
+                self._veff_cache = (self.H_, self._Y,
+                                    jnp.asarray(self._Y @ self.H_))
+            Veff = self._veff_cache[2]
         n = min(n, Veff.shape[0])
 
         def query_rows(ids):

@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="rows denser than this solve on the dense "
                              "gramian path; default auto (rank-aware "
                              "break-even, config.dense_min_degree_for_rank)")
+    engine.add_argument("--topology", default="1d",
+                        choices=["1d", "obs_parallel"],
+                        help="'obs_parallel': 2-D (dcn x data) mesh — rows "
+                             "sharded within a slice, observations split "
+                             "across slices, gram psum over DCN; for the "
+                             "few-rows x huge-degree regime "
+                             "(parallel.hybrid_als)")
     engine.add_argument("--exchange", default="allgather",
                         choices=["allgather", "all_to_all", "hybrid"])
     engine.add_argument("--exchange-head", type=int, default=None,
@@ -150,7 +157,7 @@ def main(argv: Optional[list] = None) -> int:
                     solver=args.solver, compute_dtype=args.compute_dtype,
                     gather_budget_mb=args.gather_budget_mb,
                     n_shards=args.n_shards, num_slices=args.num_slices,
-                    exchange=args.exchange,
+                    topology=args.topology, exchange=args.exchange,
                     exchange_head=args.exchange_head,
                     platform=args.platform, hot_cols=args.hot_cols,
                     dense_min_degree=args.dense_min_degree,
@@ -189,16 +196,15 @@ def main(argv: Optional[list] = None) -> int:
 
     rows = (n_users + n_items) * len(getattr(model, "history_", [0]))
     # per-sweep collective traffic of the sharded exchange (static per fit;
-    # utils.logging 'collective bytes'). The estimator's fit loop computes
-    # train_sse every sweep, which re-runs the user-half exchange — the
-    # logged number includes that extra half-sweep (per_sweep_with_sse), so
-    # it equals the ACTUAL per-sweep traffic of this fit.
+    # utils.logging 'collective bytes'). Since the scanned sharded fit
+    # (VERDICT r3 task 3) the per-sweep SSE rides the sweep's own
+    # exchanges, so per_sweep_total IS the fit's actual traffic;
+    # sse_extra/per_sweep_with_sse price only out-of-band train_sse calls.
     xbytes = getattr(model, "exchange_bytes_per_sweep_", None)
     for i, rmse in enumerate(model.history_):
         rec = dict(train_rmse=float(rmse))
         if xbytes is not None:
-            rec["collective_bytes"] = int(
-                xbytes.get("per_sweep_with_sse", xbytes["per_sweep_total"]))
+            rec["collective_bytes"] = int(xbytes["per_sweep_total"])
         metrics.log(i + 1, **rec)
     summary = dict(
         train_rmse=float(model.history_[-1]),
@@ -207,9 +213,9 @@ def main(argv: Optional[list] = None) -> int:
     )
     if xbytes is not None:
         summary["collective_bytes_per_sweep"] = int(
-            xbytes.get("per_sweep_with_sse", xbytes["per_sweep_total"]))
-        summary["collective_bytes_sweep_only"] = int(
             xbytes["per_sweep_total"])
+        summary["collective_bytes_with_standalone_sse"] = int(
+            xbytes.get("per_sweep_with_sse", xbytes["per_sweep_total"]))
     if test is not None and hasattr(model, "rmse"):
         summary["test_rmse"] = float(model.rmse(test))
     if test is not None and hasattr(model, "recommend") and args.model == "als":

@@ -144,7 +144,10 @@ def main():
             bsz, p = b["indices"].shape
             chunk = min(p, max(cfg.chunk, (32_768 // max(bsz, 1)) // 8 * 8))
             block = block_batch(rank)
-            bb = max(block, (cfg.gather_budget * (1 << 20))
+            from recommendation_models_tpu.solver.als_sweep import (
+                resolve_gather_budget)
+            budget = resolve_gather_budget(cfg.gather_budget_mb, rank, bs)
+            bb = max(block, (budget * (1 << 20))
                      // (p * rank * 2) // block * block)
             if bsz <= bb:
                 G, r = gram_rhs_t(v, b["indices"], wg, wr, chunk=chunk,
@@ -189,7 +192,10 @@ def main():
                 continue
             bsz, p = b["indices"].shape
             block = block_batch(rank)
-            bb = max(block, (cfg.gather_budget * (1 << 20))
+            from recommendation_models_tpu.solver.als_sweep import (
+                resolve_gather_budget)
+            budget = resolve_gather_budget(cfg.gather_budget_mb, rank, bs)
+            bb = max(block, (budget * (1 << 20))
                      // (p * rank * 2) // block * block)
             if bsz <= bb:
                 acc = acc + jnp.take(vb, b["indices"], axis=0

@@ -38,8 +38,11 @@ def _blocks(b, cfg, rank):
     bsz, p = b["indices"].shape
     chunk = min(p, max(cfg.chunk, (32_768 // max(bsz, 1)) // 8 * 8))
     block = block_batch(rank)
-    bb = max(block, (cfg.gather_budget * (1 << 20))
-             // (p * rank * 2) // block * block)
+    from recommendation_models_tpu.solver.als_sweep import (
+        resolve_gather_budget)
+    # single-bucket view: resolve against this bucket's own padded volume
+    bb = max(block, (resolve_gather_budget(cfg.gather_budget_mb, rank, [b])
+                     * (1 << 20)) // (p * rank * 2) // block * block)
     return bsz, p, chunk, bb
 
 

@@ -134,6 +134,17 @@ def test_reference_name_aliases():
         ALS(rank=4, reg=0.7, lambda_=0.3).fit(R)
     with _pytest.raises(ValueError, match="only one"):
         ALS(rank=4, n_sweeps=5, max_iter=3).fit(R)
+    # sentinel defaults (ADVICE r3): an explicitly-passed value EQUAL to
+    # the documented default still conflicts — the old literal-default
+    # guard silently trained ALS(reg=0.1, lambda_=0.5) with 0.5
+    with _pytest.raises(ValueError, match="only one"):
+        ALS(rank=4, reg=0.1, lambda_=0.5).fit(R)
+    with _pytest.raises(ValueError, match="only one"):
+        ALS(rank=4, n_sweeps=10, max_iter=3).fit(R)
+    with _pytest.raises(ValueError, match="only one"):
+        IMC(rank=3, reg=0.1, lambda_=0.5).fit(R, X, Y)
+    # equal values are not a conflict (explicitly redundant is fine)
+    assert ALS(rank=4, reg=0.3, lambda_=0.3)._reg == 0.3
 
 
 def test_pickle_fitted_roundtrip():

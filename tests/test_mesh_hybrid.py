@@ -192,3 +192,40 @@ def test_scaling_model_ml25m_allgather_projection():
     slow = sweep_time_model(0.249, bytes_fn(32), 32, num_slices=4,
                             links=LinkSpec(dcn_bytes_per_s=2.5e9))
     assert slow["efficiency"] < by_s[32]["efficiency"]
+
+
+def test_estimator_topology_obs_parallel():
+    """VERDICT r3 task 6: the 2-D hybrid program is reachable from the
+    estimator surface — ALS(topology='obs_parallel') matches the
+    single-device fit on the same warm start, exposes ici/dcn traffic,
+    and rejects invalid combinations loudly."""
+    import numpy as np
+    import pytest
+    from conftest import tiny_problem
+    from recommendation_models_tpu.models.als import ALS
+
+    R = tiny_problem(56, 42, density=0.3, seed=11)
+    rng = np.random.default_rng(12)
+    U0 = 0.1 * rng.standard_normal((56, 5)).astype(np.float32)
+    V0 = 0.1 * rng.standard_normal((42, 5)).astype(np.float32)
+    kw = dict(rank=5, reg=0.2, n_sweeps=3, solver="xla",
+              compute_dtype="float32")
+    m1 = ALS(**kw).fit(R, U0=U0, V0=V0)
+    m2 = ALS(**kw, n_shards=8, num_slices=2, topology="obs_parallel",
+             platform="cpu").fit(R, U0=U0, V0=V0)
+    np.testing.assert_allclose(m2.U_, m1.U_, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(m2.history_, m1.history_, rtol=2e-4)
+    b = m2.exchange_bytes_per_sweep_
+    assert b["ici"] > 0 and b["dcn"] > 0
+    # serving works off the materialized host tables
+    _, items = m2.recommend([0, 1], n=5)
+    assert items.shape == (2, 5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        ALS(**kw, n_shards=8, num_slices=3, topology="obs_parallel",
+            platform="cpu").fit(R)
+    with pytest.raises(ValueError, match="exchange"):
+        ALS(**kw, n_shards=8, num_slices=2, topology="obs_parallel",
+            exchange="all_to_all", platform="cpu").fit(R)
+    with pytest.raises(ValueError, match="topology"):
+        ALS(**kw, n_shards=8, topology="ring", platform="cpu").fit(R)

@@ -172,9 +172,9 @@ def test_collective_bytes_accounting(cpu_mesh):
                 exchange_head=8, platform="cpu").fit(R, U0=U0, V0=V0)
         b = m.exchange_bytes_per_sweep_
         assert b["per_sweep_total"] > 0 and "user_half" in b
-        # the estimator fit loop runs train_sse every sweep, which re-runs
-        # the user-half exchange: the with-sse number (what the CLI logs)
-        # must own that extra half-sweep (VERDICT r2 weak item 3)
+        # a STANDALONE train_sse call re-runs the user-half exchange (the
+        # fit paths no longer do — per-sweep SSE rides the item half's
+        # solves); the with-sse number prices that out-of-band call
         assert b["per_sweep_with_sse"] == (b["per_sweep_total"]
                                            + b["user_half"])
         out[ex] = b["per_sweep_total"]
