@@ -141,6 +141,18 @@ prog = ShardedALSProgram(
     mesh, cfg, exchange=exchange,
     head=8 if exchange == "hybrid" else 0)
 
+if "--scanned" in sys.argv:
+    # whole fit = ONE jitted device program across both processes
+    # (make_fit: lax.scan over sweeps, SSE riding the item half's solves)
+    U, V = prog.init_factors(seed=3, init_scale=0.1)
+    U, V, hist, n_done = prog.make_fit(n_sweeps)(U, V)
+    sse = float(np.asarray(hist)[-1])
+    Uh, Vh = to_host(U)[:n_users], to_host(V)[:n_items]
+    if proc_id == 0:
+        np.savez(os.path.join(outdir, "result.npz"), U=Uh, V=Vh, sse=sse)
+    print(f"proc {proc_id} done sse={sse:.6f}", flush=True)
+    sys.exit(0)
+
 ckpt_dir = os.path.join(outdir, "ckpt")
 start_sweep = 0
 if resume:

@@ -95,6 +95,20 @@ def test_two_process_fit_matches_single(tmp_path, single_process_reference):
     np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
 
 
+def test_two_process_scanned_fit_matches_single(tmp_path,
+                                                single_process_reference):
+    """The scanned whole-fit program (make_fit: one jitted lax.scan over
+    sweeps, zero per-sweep host readbacks — VERDICT r3 task 3) is
+    process-count invariant under real jax.distributed, and its riding
+    SSE matches the stepwise train_sse reference."""
+    outs = _run_all(tmp_path, extra=("--scanned",))
+    res = np.load(tmp_path / "result.npz")
+    ref = single_process_reference
+    np.testing.assert_allclose(res["U"], ref["U"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["V"], ref["V"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
+
+
 def test_fault_injection_restart_resume(tmp_path, single_process_reference):
     """Kill the job after sweep 2 (os._exit mid-training), then restart both
     processes with --resume: the resumed run must finish and reproduce the
