@@ -295,6 +295,10 @@ class ALS(BaseEstimator):
         n_shards = self.n_shards
         if n_shards is not None and n_shards > 1:
             return self._fit_sharded(indptr, indices, data, U0, V0, dcfg, scfg)
+        if self.topology != "1d":
+            raise ValueError(
+                f"topology={self.topology!r} needs a sharded fit: set "
+                f"n_shards > 1 (got {n_shards})")
 
         from recommendation_models_tpu.ops.pallas.cholesky import block_batch
         user_layout, item_layout = self._build_layouts(

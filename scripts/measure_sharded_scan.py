@@ -1,0 +1,109 @@
+"""Measure the scanned sharded fit vs the per-sweep host loop on the real
+chip (VERDICT r3 task 3 'Done' criterion: a measured sharded-epoch delta on
+a 1-shard mesh, recorded in BASELINE.md).
+
+Builds a 1-shard TPU mesh ShardedALSProgram on an ML-1M-shaped synthetic
+problem and times, for the same sweep count:
+  (a) stepwise: prog.sweep + prog.train_sse + float() readback per sweep
+      (the pre-r4 estimator loop — one host round-trip and one surplus
+      user-half exchange per sweep), and
+  (b) scanned: prog.make_fit (one jitted lax.scan device program, SSE
+      riding the item half's solves, one readback total).
+
+Timing discipline per CLAUDE.md: warm both programs first; end each timed
+region with a dependent np.asarray readback (block_until_ready does not
+fence over the axon tunnel).
+
+  python scripts/measure_sharded_scan.py            # ml1m shape, rank 64
+  SCALE=ml25m RANK=64 SWEEPS=10 python scripts/measure_sharded_scan.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = {
+    "ml25m": (162_541, 62_423, 25_000_000),
+    "ml1m": (6_040, 3_706, 1_000_209),
+    "tiny": (2_000, 1_500, 120_000),
+}
+
+
+def main():
+    scale = os.environ.get("SCALE", "ml1m")
+    rank = int(os.environ.get("RANK", "64"))
+    n_sweeps = int(os.environ.get("SWEEPS", "10"))
+    n_shards = int(os.environ.get("SHARDS", "1"))
+    n_users, n_items, n_obs = SCALES[scale]
+
+    from recommendation_models_tpu.config import (
+        DataConfig, SolveConfig, bucket_growth_for_rank)
+    from recommendation_models_tpu.data.layout import (
+        layout_from_coo, shard_layout)
+    from recommendation_models_tpu.data.synthetic import synthetic_ratings
+    from recommendation_models_tpu.ops.pallas.cholesky import block_batch
+    from recommendation_models_tpu.parallel.mesh import get_mesh
+    from recommendation_models_tpu.parallel.sharded_als import (
+        ShardedALSProgram)
+
+    users, items, ratings = synthetic_ratings(n_users, n_items, n_obs,
+                                              rank=16, seed=0)
+    # allgather layouts keep dense-whale/hot-column OFF to match the
+    # sharded production config at >1 shards (exchange-agnostic compare)
+    dcfg = DataConfig(dense_whales=False, hot_cols=0,
+                      bucket_growth=bucket_growth_for_rank(rank))
+    ul = shard_layout(layout_from_coo(users, items, ratings, n_users,
+                                      n_items, config=dcfg), n_shards,
+                      row_multiple=block_batch(rank))
+    il = shard_layout(layout_from_coo(users, items, ratings, n_users,
+                                      n_items, config=dcfg, transpose=True),
+                      n_shards, row_multiple=block_batch(rank))
+    mesh = get_mesh(n_shards)
+    cfg = SolveConfig(rank=rank, reg=0.1)
+    prog = ShardedALSProgram(ul, il, mesh, cfg)
+    nnz = ratings.shape[0]
+
+    # ---- (a) stepwise loop (pre-r4 estimator behavior) ----
+    U, V = prog.init_factors(seed=0, init_scale=0.01)
+    U, V = prog.sweep(U, V)                       # warm both programs
+    _ = float(prog.train_sse(U, V))
+    U, V = prog.init_factors(seed=0, init_scale=0.01)
+    _ = np.asarray(U)[0, 0], np.asarray(V)[0, 0]  # fence placement
+    t0 = time.perf_counter()
+    hist_a = []
+    for _ in range(n_sweeps):
+        U, V = prog.sweep(U, V)
+        hist_a.append(float(prog.train_sse(U, V)))  # per-sweep readback
+    stepwise_s = time.perf_counter() - t0
+
+    # ---- (b) scanned whole-fit program ----
+    fit = prog.make_fit(n_sweeps)
+    U, V = prog.init_factors(seed=0, init_scale=0.01)
+    U, V, sse, _ = fit(U, V)                      # warm/compile
+    _ = np.asarray(sse)
+    U, V = prog.init_factors(seed=0, init_scale=0.01)
+    _ = np.asarray(U)[0, 0], np.asarray(V)[0, 0]
+    t0 = time.perf_counter()
+    U, V, sse, _ = fit(U, V)
+    hist_b = np.asarray(sse)                      # ONE dependent readback
+    scanned_s = time.perf_counter() - t0
+
+    np.testing.assert_allclose(hist_a, hist_b, rtol=2e-4)
+    print(f"{scale} rank={rank} sweeps={n_sweeps} shards={n_shards} "
+          f"device={jax.devices()[0].device_kind}")
+    print(f"stepwise: {stepwise_s:.4f} s total, "
+          f"{stepwise_s / n_sweeps * 1e3:.1f} ms/sweep")
+    print(f"scanned:  {scanned_s:.4f} s total, "
+          f"{scanned_s / n_sweeps * 1e3:.1f} ms/sweep  "
+          f"({(stepwise_s - scanned_s) / n_sweeps * 1e3:+.1f} ms/sweep)")
+
+
+if __name__ == "__main__":
+    main()

@@ -229,3 +229,5 @@ def test_estimator_topology_obs_parallel():
             exchange="all_to_all", platform="cpu").fit(R)
     with pytest.raises(ValueError, match="topology"):
         ALS(**kw, n_shards=8, topology="ring", platform="cpu").fit(R)
+    with pytest.raises(ValueError, match="n_shards"):
+        ALS(**kw, topology="obs_parallel").fit(R)   # silent-ignore guard
