@@ -36,10 +36,15 @@ import numpy as np
 # the driver always captures a parseable record.
 # ---------------------------------------------------------------------------
 
+# Conservative by design: only status codes / messages the wedged-tunnel
+# failure mode actually produces. Notably NOT "INTERNAL" (deterministic
+# Mosaic compile failures raise that — retrying them wastes ~3 min of
+# backoff + two cold re-dials) and no bare "connection"/"tunnel"
+# substrings (they match config errors).
 _TRANSIENT_MARKERS = (
-    "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED", "INTERNAL",
+    "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED",
     "Unable to initialize backend", "backend setup", "Socket closed",
-    "Connection reset", "connection", "tunnel",
+    "Connection reset by peer",
 )
 
 
@@ -76,8 +81,10 @@ def run_with_retry(fn, attempts=None, backoffs=(60.0, 120.0),
     (except the last attempt) the backend is re-initialized and we back off
     ``backoffs[i]`` seconds (last entry reused if attempts exceed it).
     """
-    attempts = attempts or int(os.environ.get("BENCH_RETRIES", "3"))
-    for i in range(attempts):
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_RETRIES", "3"))
+    attempts = max(1, attempts)   # 0 must still mean "run once", never
+    for i in range(attempts):     # "return None without calling fn"
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — filtered by _is_transient

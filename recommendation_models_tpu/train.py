@@ -173,6 +173,12 @@ def main(argv: Optional[list] = None) -> int:
             else:
                 model.fit(R)
     else:
+        if args.topology != "1d":
+            # loud, not silent: IMC's sharded runner is data-parallel 1-D
+            # only (the obs-parallel 2-D mesh is an ALS program)
+            raise SystemExit(
+                f"--topology {args.topology} applies to --model als only; "
+                "IMC shards data-parallel on the 1-D mesh")
         from recommendation_models_tpu.models.imc import IMC
         rng = np.random.default_rng(args.seed)
         d = args.side_features or max(4, args.rank)

@@ -32,6 +32,21 @@ def test_transient_classifier():
     assert bench._is_transient(RuntimeError("DEADLINE_EXCEEDED: rpc"))
     assert not bench._is_transient(ValueError("rank must be positive"))
     assert not bench._is_transient(RuntimeError("Cholesky failed: not PSD"))
+    # deterministic errors must NOT be retried (r4 review: each false
+    # positive costs ~3 min of backoff + two cold tunnel re-dials)
+    assert not bench._is_transient(
+        RuntimeError("INTERNAL: Mosaic failed to compile"))
+    assert not bench._is_transient(
+        ValueError("Internal connection string invalid"))
+
+
+def test_retry_zero_attempts_still_runs_once(monkeypatch):
+    """BENCH_RETRIES=0 must mean 'one attempt', never 'return None without
+    calling fn' (r4 review: that silently broke the always-emit-JSON
+    contract and entry()'s return value)."""
+    monkeypatch.setenv("BENCH_RETRIES", "0")
+    assert bench.run_with_retry(lambda: "ran") == "ran"
+    assert bench.run_with_retry(lambda: "ran", attempts=0) == "ran"
 
 
 def test_retry_recovers_after_one_transient():

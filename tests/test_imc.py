@@ -342,3 +342,9 @@ def test_imc_recommend_whale_batch_and_veff_cache():
     sc2, _ = m.recommend(uq, n=4, method="exact")
     np.testing.assert_allclose(np.asarray(m._veff_cache[2]), veff_old * 2.0,
                                rtol=1e-5)
+    # IN-PLACE mutation of H_ (same object identity) must also invalidate:
+    # the key is H_'s content, not its id (r4 review)
+    m.H_ *= 0.5
+    m.recommend(uq, n=4, method="exact")
+    np.testing.assert_allclose(np.asarray(m._veff_cache[2]), veff_old,
+                               rtol=1e-5)

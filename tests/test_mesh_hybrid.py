@@ -231,3 +231,6 @@ def test_estimator_topology_obs_parallel():
         ALS(**kw, n_shards=8, topology="ring", platform="cpu").fit(R)
     with pytest.raises(ValueError, match="n_shards"):
         ALS(**kw, topology="obs_parallel").fit(R)   # silent-ignore guard
+    with pytest.raises(ValueError, match="num_slices"):
+        # 1-slice obs_parallel = zero observation parallelism (r4 review)
+        ALS(**kw, n_shards=8, topology="obs_parallel", platform="cpu").fit(R)
