@@ -111,26 +111,54 @@ def _solve_factor(F, Z, buckets, n_rows, M0, reg, cg_iters, psum_axis=None):
 
 
 @functools.lru_cache(maxsize=64)
-def _imc_program(reg, cg_iters, n_sweeps, n_users, n_items):
+def _imc_program(reg, cg_iters, n_sweeps, n_users, n_items, tol=0.0):
     """Cached jitted whole-fit program (lax.scan over sweeps) so repeated
     fits with the same config/shape reuse the compilation. Returns
     (W, H, obj (n_sweeps,)) where obj = ½ sse + λ/2(‖W‖²+‖H‖²) at each
-    sweep's end state."""
+    sweep's end state.
+
+    ``tol > 0`` switches to a device-side ``while_loop`` with the
+    stopping rule |Δ objective| < tol — zero per-sweep host readbacks
+    (mirrors ALS's scanned-fit design; sweeps never run leave -1 in the
+    history and the host trims by the device-reported count)."""
+
+    def one_sweep(W, H, X, Y, ub, ib):
+        W, _ = _solve_factor(X, Y @ H, ub, n_users, W, reg, cg_iters)
+        H, sse = _solve_factor(Y, X @ W, ib, n_items, H, reg, cg_iters)
+        obj = 0.5 * sse + 0.5 * reg * (jnp.sum(W ** 2) + jnp.sum(H ** 2))
+        return W, H, obj
 
     @jax.jit
     def fit_all(W, H, X, Y, ub, ib):
         def body(carry, _):
             W, H = carry
-            W, _ = _solve_factor(X, Y @ H, ub, n_users, W, reg, cg_iters)
-            H, sse = _solve_factor(Y, X @ W, ib, n_items, H, reg, cg_iters)
-            obj = (0.5 * sse
-                   + 0.5 * reg * (jnp.sum(W ** 2) + jnp.sum(H ** 2)))
+            W, H, obj = one_sweep(W, H, X, Y, ub, ib)
             return (W, H), obj
 
         (W, H), hist = jax.lax.scan(body, (W, H), None, length=n_sweeps)
         return W, H, hist
 
-    return fit_all
+    @jax.jit
+    def fit_tol(W, H, X, Y, ub, ib):
+        hist0 = jnp.full((n_sweeps,), -1.0, jnp.float32)
+
+        def cond(carry):
+            _, _, hist, i = carry
+            prev = hist[jnp.maximum(i - 2, 0)]
+            cur = hist[jnp.maximum(i - 1, 0)]
+            improving = jnp.logical_or(i < 2, jnp.abs(prev - cur) >= tol)
+            return jnp.logical_and(i < n_sweeps, improving)
+
+        def body(carry):
+            W, H, hist, i = carry
+            W, H, obj = one_sweep(W, H, X, Y, ub, ib)
+            return W, H, hist.at[i].set(obj), i + 1
+
+        W, H, hist, _ = jax.lax.while_loop(
+            cond, body, (W, H, hist0, jnp.int32(0)))
+        return W, H, hist
+
+    return fit_tol if tol > 0 else fit_all
 
 
 def _cg(matvec, b, x0, iters, restart: int = 16):
@@ -313,9 +341,13 @@ class IMC(BaseEstimator):
              (self.init_scale
               * rng.standard_normal((Y.shape[1], k))).astype(np.float32))
 
-        stepwise = bool(self.verbose or self.tol > 0
-                        or (self.checkpoint_dir and self.checkpoint_every))
         sharded = bool(self.n_shards and self.n_shards > 1)
+        # tol runs DEVICE-SIDE for the single-device program (while_loop,
+        # mirroring ALS's scanned fit — zero per-sweep readbacks); the
+        # sharded runner and verbose/checkpoint fits take the host loop
+        stepwise = bool(self.verbose
+                        or (self.checkpoint_dir and self.checkpoint_every)
+                        or (sharded and self.tol > 0))
         if sharded:
             run_sweeps = self._make_sharded_runner(X, Y, user_layout,
                                                    item_layout)
@@ -323,17 +355,24 @@ class IMC(BaseEstimator):
             ub = device_buckets(user_layout)
             ib = device_buckets(item_layout)
 
-            def run_sweeps(W, H, length):
+            def run_sweeps(W, H, length, tol=0.0):
                 fit_all = _imc_program(reg, cg_iters, length,
-                                       n_users, n_items)
+                                       n_users, n_items, tol)
                 return fit_all(jnp.asarray(W), jnp.asarray(H), X, Y, ub, ib)
 
         if not stepwise:
-            # Whole fit = ONE device program (lax.scan over sweeps);
-            # no per-sweep host round trips (matters doubly over the
-            # remote-attached TPU tunnel).
-            W, H, hist = run_sweeps(W, H, self._n_sweeps)
-            self.history_ = list(np.asarray(hist, np.float64))
+            # Whole fit = ONE device program (lax.scan over sweeps, or a
+            # tol while_loop); no per-sweep host round trips (matters
+            # doubly over the remote-attached TPU tunnel).
+            W, H, hist = run_sweeps(W, H, self._n_sweeps,
+                                    tol=float(self.tol))
+            hist = np.asarray(hist, np.float64)
+            if self.tol > 0:
+                # -1 marks sweeps never run; the objective itself is
+                # always >= 0 (½ sse + λ/2 norms), so the value trim is
+                # exact
+                hist = hist[hist >= 0]
+            self.history_ = list(hist)
         else:
             # Per-sweep host loop reusing ONE compiled length-1 program:
             # tol stopping (reference §3.1 'break if Δ < tol', applied to
@@ -482,7 +521,10 @@ class IMC(BaseEstimator):
         }
         out["per_sweep_total"] = out["w_step"] + out["h_step"]
 
-        def run_sweeps(W, H, length):
+        def run_sweeps(W, H, length, tol=0.0):
+            # sharded tol fits route through the host stepwise loop
+            # (fit() guarantees tol == 0 here)
+            assert tol == 0.0
             return make_prog(length)(repl_put(W), repl_put(H),
                                      Xp, Yp, ub, ib)
 

@@ -241,6 +241,21 @@ def test_imc_recommend_topk_path(imc_problem):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_imc_device_side_tol_matches_host_loop(imc_problem, capsys):
+    """Single-device tol runs as a device while_loop (zero per-sweep
+    readbacks, r4); its stopping point and history must match the host
+    stepwise loop (verbose=1 forces it) on the same problem."""
+    X, Y, users, items, r = imc_problem
+    kw = dict(rank=4, reg=0.05, n_sweeps=30, cg_iters=25, tol=2.0, seed=0)
+    dev = IMC(**kw).fit((users, items, r), X, Y)
+    host = IMC(**kw, verbose=1).fit((users, items, r), X, Y)
+    capsys.readouterr()
+    assert 2 <= len(dev.history_) < 30          # actually stopped early
+    assert len(dev.history_) == len(host.history_)
+    np.testing.assert_allclose(dev.history_, host.history_, rtol=1e-5)
+    assert abs(dev.history_[-2] - dev.history_[-1]) < 2.0
+
+
 def test_cg_honors_iteration_count():
     """ADVICE r3: cg_iters=50, restart=16 used to run 64 steps. Count
     matvecs: exactly iters + ceil(iters/restart) true-residual extras."""
