@@ -502,12 +502,33 @@ def main() -> None:
 
 def cli() -> None:
     """Driver entry: bounded retry over the whole bench (the layout memo
-    makes attempt 2+ skip the host-side build); ALWAYS emits one JSON line."""
+    makes attempt 2+ skip the host-side build); ALWAYS emits one JSON line.
+
+    A wedged tunnel can also HANG (backend init blocks ~30 min before
+    raising UNAVAILABLE — observed round 3); the daemon watchdog converts
+    that into a parseable error record before any outer capture timeout.
+    ``BENCH_DEADLINE_S`` (default 2700) bounds the whole run."""
+    import threading
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+
+    def fire():
+        emit_error_record(TimeoutError(
+            f"bench exceeded BENCH_DEADLINE_S={deadline:.0f}s "
+            "(wedged TPU tunnel hang?)"))
+        sys.stdout.flush()
+        os._exit(0)
+
+    watchdog = threading.Timer(deadline, fire)
+    watchdog.daemon = True
+    watchdog.start()
     try:
         run_with_retry(main)
     except Exception as e:  # noqa: BLE001 — the record is the contract
         emit_error_record(e)
         raise SystemExit(0)  # parseable record > rc; the error field flags it
+    finally:
+        watchdog.cancel()
 
 
 if __name__ == "__main__":

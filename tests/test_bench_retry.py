@@ -138,3 +138,24 @@ def test_bench_completes_when_placement_fails_once(monkeypatch, capsys):
     assert rec["value"] > 0 and "error" not in rec
     assert state["n"] >= 2           # first call failed, retry re-ran it
     assert len(bench._LAYOUT_MEMO) == 1   # rebuild skipped on attempt 2
+
+
+def test_watchdog_emits_record_on_hang(monkeypatch):
+    """A wedged tunnel can HANG (not raise) for ~30 min; the cli watchdog
+    must emit the parseable error record and exit 0 before any outer
+    capture timeout. Run in a subprocess (the watchdog os._exits)."""
+    import subprocess, sys, os, json
+    code = (
+        "import os, time, json, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "bench.main = lambda: time.sleep(60)\n"   # simulated hang
+        "bench.cli()\n" % os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    env = dict(os.environ, BENCH_DEADLINE_S="2", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=30)
+    assert out.returncode == 0
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "bench_failed"
+    assert "BENCH_DEADLINE_S" in rec["error"]
