@@ -45,6 +45,7 @@ def pytest_collection_modifyitems(config, items):
     slow_files = {
         "test_multihost.py", "test_fuzz.py", "test_integration.py",
         "test_hot_columns.py",   # kernel-parity sweeps, ~40 s of the lane
+        "test_examples.py",
     }
     for item in items:
         if os.path.basename(str(item.fspath)) in slow_files:
