@@ -204,7 +204,10 @@ def build_layout(
         thr = getattr(cfg, "hot_min_count", None)
         thr = max(n_rows // 64, 32) if thr is None else int(thr)
         cand = np.flatnonzero(counts >= thr)
-        if cand.size >= 8:
+        # hot_cols in 1..7 rounds C to 0: no block at all then (an EMPTY
+        # hot_ids array downstream read as "has a hot block" — e.g.
+        # build_exchange_plan's replication guard — r4 review)
+        if cand.size >= 8 and int(cfg.hot_cols) >= 8:
             cand = cand[np.argsort(-counts[cand], kind="stable")]
             C = min(int(cfg.hot_cols), cand.size) // 8 * 8
             hot_ids = np.sort(cand[:C]).astype(np.int32)

@@ -53,7 +53,10 @@ def _pad8(n: int) -> int:
     return max(8, -(-n // 8) * 8)
 
 
-@dataclasses.dataclass
+# eq/repr off: the auto __eq__ raises on ndarray fields ("truth value of
+# an array...") and the auto __repr__ dumps full (S, w_d) request tables
+# (megabytes at high S) into logs/assert messages (r4 review)
+@dataclasses.dataclass(eq=False, repr=False)
 class ExchangePlan:
     n_shards: int
     col_shard_size: int             # rows of the opposite table per shard
@@ -165,12 +168,18 @@ def build_exchange_plan(
     req_bounds = []   # per shard: (S+1,) owner-group boundaries
     n_tail_unique = 0
     owner_edges = np.arange(S + 1, dtype=np.int64) * css
+    # (rows, mask, masked ids) per (bucket, shard), computed ONCE here and
+    # reused by the remap pass below (r4 review: the two passes duplicated
+    # every padded-block subset — ~2x the O(S*B) slicing work of build)
+    subsets = {}
     for s in range(S):
         parts = []
         for bi, (idx, msk) in enumerate(zip(layout.indices, layout.mask)):
             rows = real_rows(bi, s)
-            sub = idx[s][rows]
-            parts.append(sub[msk[s][rows] > 0].ravel().astype(np.int64))
+            m = msk[s][rows] > 0
+            ids_bs = idx[s][rows][m].ravel().astype(np.int64)
+            subsets[bi, s] = (rows, m, ids_bs)
+            parts.append(ids_bs)
         ids = (np.unique(np.concatenate(parts)) if parts
                else np.empty(0, np.int64))
         in_head, _ = split_head(ids)
@@ -210,12 +219,8 @@ def build_exchange_plan(
     for bi, (idx, msk) in enumerate(zip(layout.indices, layout.mask)):
         out = np.zeros_like(idx)
         for s in range(S):
-            rows = real_rows(bi, s)
-            if not rows.size:
-                continue
-            m = msk[s][rows] > 0
-            ids = idx[s][rows][m].astype(np.int64)
-            if not ids.size:
+            rows, m, ids = subsets[bi, s]
+            if not rows.size or not ids.size:
                 continue
             in_head, head_pos = split_head(ids)
             owners = np.minimum(ids // css, S - 1)

@@ -251,3 +251,31 @@ def test_explicit_zero_ratings_raise_loudly_in_dense_and_hot_blocks():
     assert lay.nnz == data.shape[0]
     kept = np.concatenate([b.values[b.mask > 0] for b in lay.buckets])
     assert np.count_nonzero(kept == 0) == np.count_nonzero(data == 0)
+
+
+def test_tiny_hot_cols_produces_no_empty_hot_block():
+    """hot_cols in 1..7 rounds the block width to 0: the layout must carry
+    hot_ids=None (an EMPTY array read as 'has a hot block' tripped
+    build_exchange_plan's replication guard — r4 review)."""
+    from recommendation_models_tpu.config import DataConfig
+    from recommendation_models_tpu.data.layout import (
+        build_layout, csr_arrays, shard_layout)
+    from recommendation_models_tpu.parallel.exchange import (
+        build_exchange_plan)
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(21)
+    u = rng.integers(0, 40, 600)
+    i = rng.integers(0, 16, 600)          # few columns => all hot-worthy
+    v = rng.uniform(1, 5, 600).astype(np.float32)
+    R = sp.csr_matrix((v, (u, i)), shape=(40, 16))
+    R.sum_duplicates()
+    indptr, indices, data, nu, ni = csr_arrays(R)
+    lay = build_layout(indptr, indices, data, nu, ni,
+                       DataConfig(dense_whales=False, hot_cols=4,
+                                  hot_min_count=1))
+    assert lay.hot_ids is None
+    # and the exchange plan builds without the spurious replication error
+    sl = shard_layout(lay, 4)
+    plan = build_exchange_plan(sl, col_shard_size=sl.rows_per_shard, head=0)
+    assert plan.head_size == 0
