@@ -139,7 +139,8 @@ def build_layout(
 ) -> PaddedLayout:
     """Build the bucketed padded layout from CSR arrays.
 
-    Fully vectorized (O(nnz)); no per-row Python loops even host-side.
+    Vectorized O(nnz) on the bucket path (one Python loop per DENSE WHALE
+    row remains — ~thousands of iterations at most under the budget cap).
     """
     cfg = config or DataConfig()
     indptr = np.asarray(indptr, dtype=np.int64)
@@ -147,11 +148,22 @@ def build_layout(
     data = np.asarray(data, dtype=np.float32)
     degrees = np.diff(indptr).astype(np.int64)
     nnz = int(degrees.sum())
+    # loud bounds validation (r4 review): an out-of-range column id would
+    # otherwise flow into jnp.take's default CLIP mode on device and
+    # silently substitute the last factor row (wrong answers, no error)
+    if degrees.shape[0] != n_rows:
+        raise ValueError(f"indptr describes {degrees.shape[0]} rows but "
+                         f"n_rows={n_rows}")
+    if indices.size and (int(indices.max()) >= n_cols or int(indices.min()) < 0):
+        raise ValueError(
+            f"column ids must be in [0, {n_cols}); got "
+            f"[{int(indices.min())}, {int(indices.max())}]")
     S = int(cfg.max_bucket)
 
-    # Dense-whale block: densest rows first, while the (W, n_cols) f32 value
-    # matrix fits the budget. These rows skip bucketing entirely — their
-    # grams come from one dense MXU matmul downstream (no gathers).
+    # Dense-whale block: densest rows first, while the (W, n_cols) f16
+    # value matrix fits the budget (the cap math below uses 2 bytes per
+    # entry). These rows skip bucketing entirely — their grams come from
+    # one dense MXU matmul downstream (no gathers).
     dense_ids = dense_vals = None
     is_dense = np.zeros(n_rows, bool)
     # Dense/hot blocks encode "unobserved" as value 0, so an observation
@@ -176,6 +188,13 @@ def build_layout(
             dense_vals = np.zeros((dense_ids.shape[0], n_cols), np.float16)
             for w, r in enumerate(dense_ids):
                 lo, hi = indptr[r], indptr[r + 1]
+                if np.unique(indices[lo:hi]).size != hi - lo:
+                    raise ValueError(
+                        f"row {r} has duplicate (row, col) observations "
+                        "and is routed to the dense-whale block, whose "
+                        "scatter is last-wins (the bucket path would sum "
+                        "them) — canonicalize first (scipy "
+                        "sum_duplicates(), or pre-sum the COO triplets)")
                 if has_zero_obs and np.any(data[lo:hi] == 0):
                     raise ValueError(
                         f"row {r} has explicit zero-valued ratings and "
@@ -223,6 +242,15 @@ def build_layout(
                     "would silently be dropped. Shift ratings away from "
                     "exact 0, or build with DataConfig(hot_cols=0) / "
                     "ALS(hot_cols=0) to disable the hot-column block.")
+            hot_keys = (row_of_obs[is_hot_obs] * np.int64(C)
+                        + obs_rank[is_hot_obs])
+            if np.unique(hot_keys).size != hot_keys.size:
+                raise ValueError(
+                    "duplicate (row, col) observations fall in hot "
+                    "columns, whose slab scatter is last-wins (the "
+                    "bucket path would sum them) — canonicalize first "
+                    "(scipy sum_duplicates(), or pre-sum the COO "
+                    "triplets), or build with DataConfig(hot_cols=0)")
             # (n_rows+1, C): the extra zero row backs sentinel row ids
             hot_slab = np.zeros((n_rows + 1, C), np.float16)
             hot_slab[row_of_obs[is_hot_obs], obs_rank[is_hot_obs]] = \
@@ -368,6 +396,15 @@ def csr_arrays(R) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
         import scipy.sparse as sp
         if sp.issparse(R):
             R = R.tocsr()
+            if not R.has_canonical_format:
+                # canonicalize duplicates up front (scipy SUMS them): a
+                # non-canonical CSR reaching the layout would count a
+                # duplicated (row, col) twice on the bucket path but
+                # last-wins on the dense/hot scatter paths (r4 review).
+                # tocsr() on an already-CSR input does NOT dedup, so copy
+                # then sum (never mutate the caller's matrix).
+                R = R.copy()
+                R.sum_duplicates()
             return (np.asarray(R.indptr), np.asarray(R.indices),
                     np.asarray(R.data, dtype=np.float32), R.shape[0], R.shape[1])
     except ImportError:  # pragma: no cover - scipy is baked in
@@ -380,6 +417,17 @@ def csr_arrays(R) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
     counts = np.bincount(rows, minlength=R.shape[0])
     indptr = np.concatenate([[0], np.cumsum(counts)])
     return indptr, cols.astype(np.int32), vals, R.shape[0], R.shape[1]
+
+
+def bucket_row_multiple(n_bucket_rows: int, row_multiple: int) -> int:
+    """Row-count rounding multiple for one bucket: the solve kernel's
+    batch block when the bucket is at least that big, else 8 — padding an
+    8-row x 100k-wide whale bucket to the block would multiply its gather
+    volume ~32x while the solver's pad copy of a tiny (B, k^2) G is free
+    by comparison. The ONE shared definition for shard_layout and
+    solver.als_sweep.device_buckets (r4 review: two verbatim copies could
+    drift and give different bucket shapes sharded vs single-device)."""
+    return row_multiple if n_bucket_rows >= row_multiple else 8
 
 
 def shard_layout(layout: PaddedLayout, n_shards: int,
@@ -411,7 +459,7 @@ def shard_layout(layout: PaddedLayout, n_shards: int,
         bmax = max(int(counts.max()) if counts.size else 0, 1)
         # don't inflate small (whale) buckets to the solve block — the pad
         # copy of a tiny G is cheaper than 10-100x extra gather volume
-        mult = row_multiple if bmax >= row_multiple else 8
+        mult = bucket_row_multiple(bmax, row_multiple)
         bmax = -(-bmax // mult) * mult
         rid = np.full((n_shards, bmax), rows_per_shard, dtype=np.int32)
         idx = np.zeros((n_shards, bmax, b.pad), dtype=np.int32)

@@ -44,6 +44,20 @@ def data_fingerprint(*arrays) -> str:
     return h.hexdigest()
 
 
+def config_tag(cfg) -> str:
+    """Short stable hash of a DataConfig's FULL field set for cache tags.
+
+    Hand-listed tags silently missed layout-shaping knobs (min_bucket,
+    max_bucket, dense_budget_mb, hot_min_count, bucket_merge_slack — r4
+    review): changing one reused a stale cached layout built with the old
+    value. Hashing every field makes any config change a cache miss."""
+    import dataclasses
+    import hashlib
+
+    items = sorted(dataclasses.asdict(cfg).items())
+    return hashlib.blake2b(repr(items).encode(), digest_size=6).hexdigest()
+
+
 def save_layout(path: str, layout: PaddedLayout) -> str:
     """Pack a PaddedLayout into one uncompressed .npz at `path`."""
     arrays = {
@@ -121,4 +135,5 @@ def cached_layout(path: Optional[str],
     return layout
 
 
-__all__ = ["save_layout", "load_layout", "cached_layout", "data_fingerprint"]
+__all__ = ["save_layout", "load_layout", "cached_layout", "data_fingerprint",
+           "config_tag"]

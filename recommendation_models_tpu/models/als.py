@@ -244,19 +244,14 @@ class ALS(BaseEstimator):
                                    dcfg, transpose=True)
 
         prefix = self.layout_cache
-        # distinct cache files per layout flavor (sharded builds disable the
-        # dense-whale block; hot_cols changes the bucket contents; sharing
-        # one file would silently mismatch) AND per data content: the
-        # fingerprint invalidates the cache when the same prefix is refit on
-        # different data (round-1 gap: silent stale reuse).
+        # distinct cache files per LAYOUT CONFIG (config_tag hashes the
+        # FULL DataConfig field set — a hand-listed tag silently missed
+        # knobs like max_bucket/bucket_merge_slack, r4 review) AND per
+        # data content (the fingerprint invalidates the cache when the
+        # same prefix is refit on different data — round-1 gap).
         from recommendation_models_tpu.data.layout_cache import (
-            data_fingerprint)
-        tag = ("" if dcfg.dense_whales else ".nodense") + (
-            f".hot{dcfg.hot_cols}" if dcfg.hot_cols else "") + (
-            f".dmd{dcfg.dense_min_degree}"
-            if dcfg.dense_whales and dcfg.dense_min_degree != 512 else "") + (
-            f".g{dcfg.bucket_growth}"
-            if dcfg.bucket_growth not in (None, 1.25) else "")
+            config_tag, data_fingerprint)
+        tag = f".cfg{config_tag(dcfg)}"
         if prefix:
             tag += "." + data_fingerprint(indptr, indices, data)
         user_layout = cached_layout(

@@ -55,7 +55,9 @@ def device_buckets(layout: PaddedLayout,
         rid, idx, val, msk = b.row_ids, b.indices, b.values, b.mask
         hv = getattr(b, "hot_vals", None)
         n, p = idx.shape
-        mult = row_multiple if n >= row_multiple else 8
+        from recommendation_models_tpu.data.layout import (
+            bucket_row_multiple)
+        mult = bucket_row_multiple(n, row_multiple)
         np_rows = -(-n // mult) * mult
         if np_rows != n:
             pad = np_rows - n

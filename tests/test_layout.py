@@ -279,3 +279,61 @@ def test_tiny_hot_cols_produces_no_empty_hot_block():
     sl = shard_layout(lay, 4)
     plan = build_exchange_plan(sl, col_shard_size=sl.rows_per_shard, head=0)
     assert plan.head_size == 0
+
+
+def test_out_of_range_column_ids_raise():
+    """r4 review: out-of-range ids would flow into jnp.take's CLIP mode on
+    device and silently substitute the last factor row."""
+    import pytest
+    indptr = np.array([0, 2], np.int64)
+    indices = np.array([0, 4], np.int32)      # col 4 >= n_cols=4
+    data = np.ones(2, np.float32)
+    with pytest.raises(ValueError, match="column ids"):
+        build_layout(indptr, indices, data, 1, 4)
+    with pytest.raises(ValueError, match="n_rows"):
+        build_layout(indptr, indices, data, 3, 8)   # indptr says 1 row
+
+
+def test_duplicate_observations_canonicalized_or_loud():
+    """scipy input is canonicalized (duplicates SUMMED, matching scipy COO
+    semantics); raw duplicates routed to dense/hot blocks raise instead of
+    silently keeping last-wins (r4 review)."""
+    import pytest
+    # csr_arrays canonicalizes a non-canonical CSR without mutating it
+    R = sp.csr_matrix((np.array([1.0, 2.0, 3.0], np.float32),
+                       (np.array([0, 0, 0]), np.array([1, 1, 2]))),
+                      shape=(1, 4)).tocsr()
+    # rebuild a non-canonical CSR explicitly
+    R2 = sp.csr_matrix((np.array([1.0, 2.0, 3.0], np.float32),
+                        np.array([1, 1, 2]), np.array([0, 3])),
+                       shape=(1, 4))
+    assert not R2.has_canonical_format
+    indptr, indices, data, _, _ = csr_arrays(R2)
+    assert indices.shape[0] == 2 and data[0] == 3.0   # summed
+    assert not R2.has_canonical_format                # caller's not mutated
+
+    # duplicates reaching a dense-whale row raise loudly
+    rows = np.zeros(40, np.int64)
+    cols = np.concatenate([np.arange(39), [0]])       # col 0 twice
+    vals = np.ones(40, np.float32)
+    with pytest.raises(ValueError, match="duplicate"):
+        layout_from_coo(rows, cols, vals, 1, 39,
+                        DataConfig(dense_min_degree=16, hot_cols=0))
+
+
+def test_layout_cache_invalidated_by_any_config_knob(tmp_path):
+    """r4 review: the cache tag must cover EVERY layout-shaping knob —
+    changing max_bucket (or merge slack etc.) must rebuild, not silently
+    reuse the stale cached layout."""
+    from recommendation_models_tpu.models.als import ALS
+
+    R = tiny_problem(40, 30, density=0.3, seed=8)
+    prefix = str(tmp_path / "lc")
+    m1 = ALS(rank=4, n_sweeps=1, layout_cache=prefix).fit(R)
+    files1 = set(p.name for p in tmp_path.iterdir())
+    m2 = ALS(rank=4, n_sweeps=1, layout_cache=prefix, max_bucket=64).fit(R)
+    files2 = set(p.name for p in tmp_path.iterdir())
+    assert files2 > files1          # new cache entries, not stale reuse
+    m3 = ALS(rank=4, n_sweeps=1, layout_cache=prefix, min_bucket=16).fit(R)
+    files3 = set(p.name for p in tmp_path.iterdir())
+    assert files3 > files2
