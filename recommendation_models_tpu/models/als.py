@@ -386,6 +386,7 @@ class ALS(BaseEstimator):
         prog = ShardedALSProgram(user_layout, item_layout, mesh, scfg,
                                  exchange=self.exchange, head=head)
         self._sharded_program = prog
+        self._take_jit = None          # mesh may have changed: re-jit lazily
         # per-sweep ICI traffic of the chosen exchange (utils.logging
         # 'collective bytes'; the train CLI logs it per sweep)
         self.exchange_bytes_per_sweep_ = prog.collective_bytes_per_sweep()
@@ -568,6 +569,7 @@ class ALS(BaseEstimator):
         rebuilt on the next fit, so they're dropped."""
         state = dict(self.__dict__)
         state.pop("_sharded_program", None)
+        state.pop("_take_jit", None)   # jitted closures don't pickle
         if state.get("_U_dev") is not None:
             # materialize device-resident factors before dropping handles
             state["_U_host"], state["_V_host"] = self.U_, self.V_
@@ -696,9 +698,14 @@ class ALS(BaseEstimator):
             from recommendation_models_tpu.ops.topk import sharded_topk
             U_dev, V_dev = self._U_dev, self._V_dev
             mesh, axis, n_items = prog.mesh, prog.axis, self.n_items_
-            take = jax.jit(
-                lambda U, ids: jnp.take(U, ids, axis=0),
-                out_shardings=NamedSharding(mesh, P()))
+            # cache the jitted gather on the estimator: a fresh closure per
+            # recommend() call would recompile every call (r4 review —
+            # same class as the topk module-level jit fix)
+            take = getattr(self, "_take_jit", None)
+            if take is None:
+                take = self._take_jit = jax.jit(
+                    lambda U, ids: jnp.take(U, ids, axis=0),
+                    out_shardings=NamedSharding(mesh, P()))
 
             def query_rows(ids):
                 return take(U_dev, jnp.asarray(ids))

@@ -73,10 +73,16 @@ def _topk_exact_small(u, v, k):
     return jax.lax.top_k(_scores(u, v), k)
 
 
-def _topk_exact_chunked(u, v, k, block=_EXACT_BLOCK):
-    """Exact top-k via lax.scan over item blocks with a running merge."""
+def _topk_exact_chunked(u, v, k, block=_EXACT_BLOCK, n_valid=None):
+    """Exact top-k via lax.scan over item blocks with a running merge.
+
+    ``n_valid``: true candidate-row bound (may be a traced value — sharded
+    callers mask a shard-relative tail); defaults to v's row count.
+    """
     n, d = v.shape
     b = u.shape[0]
+    if n_valid is None:
+        n_valid = n
     pad = (-n) % block
     vp = jnp.pad(v, ((0, pad), (0, 0)))
     v_blocks = vp.reshape(-1, block, d)
@@ -90,7 +96,7 @@ def _topk_exact_chunked(u, v, k, block=_EXACT_BLOCK):
         v_blk, base = xs
         s = _scores(u, v_blk)
         ids = base + jnp.arange(block, dtype=jnp.int32)
-        s = jnp.where(ids[None, :] < n, s, -jnp.inf)
+        s = jnp.where(ids[None, :] < n_valid, s, -jnp.inf)
         sc, ix = jax.lax.top_k(s, kb)
         ix = ix + base
         m_sc = jnp.concatenate([c_sc, sc], axis=1)
@@ -102,6 +108,17 @@ def _topk_exact_chunked(u, v, k, block=_EXACT_BLOCK):
             jnp.zeros((b, k), jnp.int32))
     (sc, ix), _ = jax.lax.scan(body, init, (v_blocks, bases))
     return sc, ix
+
+
+def _filter_seen(sc, ix, exclude, k):
+    """Drop excluded candidates and re-select top-k (the ONE shared
+    overfetch-filter-merge; inside jit the (B, overfetch, E) compare fuses
+    into the any-reduce — eager it materialized tens of GB at ML-25M
+    exclusion widths, r4 review)."""
+    seen = (ix[:, :, None] == exclude[:, None, :]).any(-1)
+    sc = jnp.where(seen, -jnp.inf, sc)
+    sc_k, pos = jax.lax.top_k(sc, k)
+    return sc_k, jnp.take_along_axis(ix, pos, axis=1)
 
 
 def _topk_unseen(u, v, k, method, recall_target,
@@ -117,10 +134,24 @@ def _topk_unseen(u, v, k, method, recall_target,
         sc, ix = _topk_exact_chunked(u, v, overfetch)
     if exclude is None:
         return sc, ix
-    seen = (ix[:, :, None] == exclude[:, None, :]).any(-1)
-    sc = jnp.where(seen, -jnp.inf, sc)
-    sc_k, pos = jax.lax.top_k(sc, k)
-    return sc_k, jnp.take_along_axis(ix, pos, axis=1)
+    return _filter_seen(sc, ix, exclude, k)
+
+
+# Serving calls these EAGERLY from recommend(): without jit the scoring
+# einsum, approx_max_k and the seen-mask dispatch as separate XLA ops —
+# the (B, n) score matrix AND the (B, overfetch, E) seen mask materialize
+# in HBM (the latter OOMs at ML-25M exclusion widths), and none of the
+# fusion the module docstring (and the measured ~5M users/s) relies on
+# happens. Module-level jitted entry points with static selection params
+# give every recommend() call the fused program from a stable jit cache.
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _topk_jit_nox(u, v, k, method, recall_target):
+    return _topk_unseen(u, v, k, method, recall_target, None)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _topk_jit_ex(u, v, exclude, k, method, recall_target):
+    return _topk_unseen(u, v, k, method, recall_target, exclude)
 
 
 def topk_scores(
@@ -134,10 +165,23 @@ def topk_scores(
     """Returns (scores (B, k), items (B, k)) of the top-k items.
 
     ``exclude`` rows may be padded with -1 (no item has id -1, so padding
-    never matches a candidate).
+    never matches a candidate). Runs as ONE jitted fused program per
+    (shape, k, method) — see _topk_jit_* above.
+
+    NOTE on 'exact': selection is exact over the computed scores, but on
+    TPU the f32 scoring dot at DEFAULT precision is a one-pass bf16
+    contraction (CLAUDE.md) — near-ties (< bf16 input rounding apart) may
+    order differently than a f64 host reference.
     """
+    if k < 1 or k > V.shape[0]:
+        raise ValueError(
+            f"k must be in [1, n_items={V.shape[0]}], got {k} — a short "
+            "(B, <k) result would break shape-(B, k) consumers silently")
     method = _resolve_method(method, V.shape[0], k)
-    return _topk_unseen(U_rows, V, k, method, recall_target, exclude)
+    if exclude is None:
+        return _topk_jit_nox(U_rows, V, k, method, recall_target)
+    return _topk_jit_ex(U_rows, V, jnp.asarray(exclude), k, method,
+                        recall_target)
 
 
 def grouped_exclusion_topk(user_ids, n, indptr, indices, query_rows, topk,
@@ -175,18 +219,27 @@ def grouped_exclusion_topk(user_ids, n, indptr, indices, query_rows, topk,
         w *= 4
     cuts = np.searchsorted(sd, np.asarray(levels), side="right")
     start = 0
-    for cut in cuts:
+    for level, cut in zip(levels, cuts):
         if cut <= start:
             continue
         grp = order[start:cut]
-        width = max(1, int(sd[cut - 1]))   # group max degree
-        start = cut
+        # exclusion width = the geometric LEVEL, not the group's max
+        # degree: a data-dependent width gave nearly every serving batch
+        # fresh XLA shapes (per-call recompiles — r4 review); the level
+        # caps distinct widths at ~log4(max degree) at the cost of a few
+        # extra -1 padding slots
+        width = level          # every member's degree <= its level by the
+        start = cut            # searchsorted cut (<= 4x padding worst-case)
         lo = indptr[user_ids[grp]]
         gdeg = degs[grp]
         cols = np.arange(width, dtype=np.int64)[None, :]
         valid = cols < gdeg[:, None]
         pos = np.where(valid, lo[:, None] + cols, 0)
-        excl = np.where(valid, indices[pos], -1).astype(np.int32)
+        # indices may be EMPTY (every requested user has zero training
+        # degree): valid is all-False then, but fancy-indexing an empty
+        # array still raises — substitute zeros (masked to -1 anyway)
+        gathered = indices[pos] if indices.size else np.zeros_like(pos)
+        excl = np.where(valid, gathered, -1).astype(np.int32)
         for q in range(0, grp.shape[0], query_chunk):
             sl = slice(q, q + query_chunk)
             sc, it = topk(query_rows(user_ids[grp[sl]]), n,
@@ -217,6 +270,10 @@ def sharded_topk(
     """
     n_shards = mesh.shape[axis]
     n_items = n_valid if n_valid is not None else V.shape[0]
+    if k < 1 or k > n_items:
+        raise ValueError(
+            f"k must be in [1, n_items={n_items}], got {k} — the no-"
+            "exclude path would silently return fewer than k columns")
     per = -(-V.shape[0] // n_shards)
     if per * n_shards != V.shape[0]:
         V = jnp.pad(V, ((0, per * n_shards - V.shape[0]), (0, 0)))
@@ -228,7 +285,21 @@ def sharded_topk(
     fetch_shard = min(want, per)
     fetch = min(want, n_shards * fetch_shard)
     method = _resolve_method(method, per, fetch_shard)
+    sc, idx = _sharded_topk_jit(U_rows, V, mesh, axis, per, n_items,
+                                fetch_shard, fetch, method, recall_target)
+    if exclude is None:
+        return sc[:, :k], idx[:, :k]
+    return _filter_seen_jit(sc, idx, jnp.asarray(exclude), k)
 
+
+# module-level jitted pieces: sharded serving is driven eagerly from
+# recommend(); per-call closures would recompile on every call (r4 review)
+_filter_seen_jit = jax.jit(_filter_seen, static_argnums=(3,))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _sharded_topk_jit(U_rows, V, mesh, axis, per, n_items, fetch_shard,
+                      fetch, method, recall_target):
     # out values are replicated by construction (identical all_gather+merge on
     # every shard) but the VMA checker can't infer that: check_vma=False.
     @functools.partial(
@@ -240,15 +311,25 @@ def sharded_topk(
     def _shard_body(u, v_shard):
         shard_id = jax.lax.axis_index(axis)
         base = shard_id * per
-        s = _scores(u, v_shard)
-        # mask padded tail rows of the last shard
-        local_ids = jnp.arange(per) + base
-        s = jnp.where(local_ids[None, :] < n_items, s, -jnp.inf)
         if method == "approx":
+            s = _scores(u, v_shard)
+            # mask padded tail rows of the last shard
+            local_ids = jnp.arange(per) + base
+            s = jnp.where(local_ids[None, :] < n_items, s, -jnp.inf)
             sc, idx = jax.lax.approx_max_k(s, fetch_shard,
                                            recall_target=recall_target)
-        else:
+        elif per <= _SMALL_N:
+            s = _scores(u, v_shard)
+            local_ids = jnp.arange(per) + base
+            s = jnp.where(local_ids[None, :] < n_items, s, -jnp.inf)
             sc, idx = jax.lax.top_k(s, fetch_shard)
+        else:
+            # wide per-shard catalogs: the chunked running merge (full-row
+            # lax.top_k over 100k+ lanes is VPU-sort-bound — the regime
+            # _topk_exact_chunked exists for; r4 review). The valid bound
+            # is shard-relative (traced: n_items - base).
+            sc, idx = _topk_exact_chunked(u, v_shard, fetch_shard,
+                                          n_valid=n_items - base)
         idx = idx + base
         # all_gather candidates from every shard, merge locally (replicated)
         sc_all = jax.lax.all_gather(sc, axis, axis=1)      # (B, S, fetch)
@@ -258,13 +339,7 @@ def sharded_topk(
         top_idx = jnp.take_along_axis(idx_all.reshape(b, -1), pos, axis=1)
         return top_sc, top_idx
 
-    sc, idx = _shard_body(U_rows, V)
-    if exclude is None:
-        return sc[:, :k], idx[:, :k]
-    seen = (idx[:, :, None] == exclude[:, None, :]).any(-1)
-    sc = jnp.where(seen, -jnp.inf, sc)
-    sc_k, pos = jax.lax.top_k(sc, k)
-    return sc_k, jnp.take_along_axis(idx, pos, axis=1)
+    return _shard_body(U_rows, V)
 
 
 __all__ = ["topk_scores", "sharded_topk", "grouped_exclusion_topk"]

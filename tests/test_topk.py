@@ -136,3 +136,70 @@ def test_recommend_degree_bucketed_matches_bruteforce():
         order = [i for i in np.argsort(-full[u]) if i not in seen][:5]
         np.testing.assert_array_equal(it[u], order)
         assert not (seen & set(it[u].tolist()))
+
+
+def test_k_out_of_range_raises_loudly():
+    """r4 review: k > n_items silently returned (B, <k) on the sharded
+    no-exclude path and raised obscurely elsewhere — both entries now
+    validate."""
+    import pytest
+    from recommendation_models_tpu.ops.topk import sharded_topk, topk_scores
+    from recommendation_models_tpu.parallel.mesh import get_mesh
+
+    U = jnp.ones((3, 4), jnp.float32)
+    V = jnp.ones((10, 4), jnp.float32)
+    with pytest.raises(ValueError, match="k must be"):
+        topk_scores(U, V, 11)
+    with pytest.raises(ValueError, match="k must be"):
+        sharded_topk(U, V, 11, get_mesh(8, platform="cpu"))
+    with pytest.raises(ValueError, match="k must be"):
+        topk_scores(U, V, 0)
+
+
+def test_grouped_exclusion_all_zero_degree_users():
+    """r4 review: an empty training index list (every requested user has
+    degree 0) crashed with IndexError inside the exclusion gather."""
+    from recommendation_models_tpu.ops.topk import (
+        grouped_exclusion_topk, topk_scores)
+
+    rng = np.random.default_rng(3)
+    Uq = jnp.asarray(rng.standard_normal((4, 5)), jnp.float32)
+    V = jnp.asarray(rng.standard_normal((30, 5)), jnp.float32)
+    indptr = np.zeros(5, np.int64)            # all degrees zero
+    indices = np.empty(0, np.int64)
+
+    def query_rows(ids):
+        return Uq[np.asarray(ids)]
+
+    def topk(u, k, excl):
+        return topk_scores(u, V, k, excl, method="exact")
+
+    sc, it = grouped_exclusion_topk(np.arange(4), 6, indptr, indices,
+                                    query_rows, topk)
+    ref_s, ref_i = topk_scores(Uq, V, 6, None, method="exact")
+    np.testing.assert_array_equal(it, np.asarray(ref_i))
+
+
+def test_grouped_exclusion_widths_are_geometric_levels():
+    """r4 review: exclusion width must be the geometric level, not the
+    batch's data-dependent max degree (per-call recompiles otherwise)."""
+    from recommendation_models_tpu.ops import topk as topk_mod
+
+    rng = np.random.default_rng(5)
+    n_users, n_items = 30, 64
+    degs = rng.integers(1, 40, n_users)
+    indptr = np.concatenate([[0], np.cumsum(degs)]).astype(np.int64)
+    indices = rng.integers(0, n_items, int(degs.sum()))
+    widths = []
+
+    def query_rows(ids):
+        return jnp.ones((len(ids), 4), jnp.float32)
+
+    def topk(u, k, excl):
+        widths.append(excl.shape[1])
+        return (jnp.zeros((u.shape[0], k), jnp.float32),
+                jnp.zeros((u.shape[0], k), jnp.int32))
+
+    topk_mod.grouped_exclusion_topk(np.arange(n_users), 3, indptr, indices,
+                                    query_rows, topk)
+    assert set(widths) <= {32, 128, 512}      # levels only, never max-degree
