@@ -212,6 +212,12 @@ class HybridALSProgram:
                 reg_vec = cfg.reg * jnp.maximum(deg, 1.0)
             else:
                 reg_vec = jnp.full((rows_local + 1,), cfg.reg, jnp.float32)
+            if cfg.reg == 0 and cfg.alpha is None:
+                # reg=0: zero-degree (padded/empty) rows have G=0, rhs=0;
+                # chol(0) NaNs — any positive ridge solves them to exactly
+                # 0, so floor it (statically gated; see solver.als_sweep)
+                deg_g = deg if cfg.reg_by_degree else jax.lax.psum(deg, dcn)
+                reg_vec = jnp.where(deg_g > 0, reg_vec, 1.0)
             if cfg.alpha is not None:
                 # global gramian: V is replicated across 'dcn', so the
                 # 'data' psum alone completes V^T V (SURVEY.md N7)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from recommendation_models_tpu.config import SolveConfig
-from recommendation_models_tpu.data.layout import PaddedLayout
+from recommendation_models_tpu.data.layout import (PaddedLayout,
+                                                    bucket_row_multiple)
 from recommendation_models_tpu.ops.gram import gram_rhs_t, objective_weights
 from recommendation_models_tpu.ops.solve import (
     resolve_compute_dtype, solve_spd_flat, solve_spd_t, solve_spd_t_hot,
@@ -55,8 +56,6 @@ def device_buckets(layout: PaddedLayout,
         rid, idx, val, msk = b.row_ids, b.indices, b.values, b.mask
         hv = getattr(b, "hot_vals", None)
         n, p = idx.shape
-        from recommendation_models_tpu.data.layout import (
-            bucket_row_multiple)
         mult = bucket_row_multiple(n, row_multiple)
         np_rows = -(-n // mult) * mult
         if np_rows != n:
@@ -91,6 +90,14 @@ def device_buckets(layout: PaddedLayout,
     if getattr(layout, "hot_ids", None) is not None:
         out.append(dict(hot_ids=jnp.asarray(layout.hot_ids)))
     return tuple(out)
+
+
+def widen_chunk(chunk: int, b: int, p: int) -> int:
+    """Degree-axis chunk for one bucket: small-batch WIDE (whale) buckets
+    widen the chunk so every scan step gathers ~32k rows instead of
+    hundreds of latency-bound (8, chunk, k) steps. The ONE definition for
+    the solve and SSE passes (r4 review: two verbatim copies)."""
+    return min(p, max(chunk, (32_768 // max(b, 1)) // 8 * 8))
 
 
 def resolve_gather_budget(budget_mb: int, k: int, buckets,
@@ -225,6 +232,20 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         else:
             reg_vec = jnp.full((G.shape[0],), cfg.reg, jnp.float32)
         x = solve_spd_flat(G, rhs, k, cfg.solver, reg_vec=reg_vec)
+        if dtype != jnp.float32:
+            # bf16 compute rounds each outer product INSIDE dense_gram_rhs's
+            # P matrix (Σ w·round(v vᵀ) is NOT an exact gram — CLAUDE.md's
+            # PSD rule), so a near-degenerate whale gram can dip below the
+            # ridge and NaN its Cholesky. Guard: re-solve NaN rows with a
+            # trace-proportional jitter (covers the ~0.4%/entry rounding
+            # perturbation). One extra cheap (W, k, k) batched solve; a
+            # no-op whenever all rows are finite — the common case.
+            diag_ix = jnp.arange(k) * (k + 1)
+            tr = jnp.maximum(G[:, diag_ix].mean(-1), 0.0)
+            x_safe = solve_spd_flat(G, rhs, k, cfg.solver,
+                                    reg_vec=reg_vec + 0.02 * tr)
+            bad = jnp.isnan(x).any(-1, keepdims=True)
+            x = jnp.where(bad, x_safe, x)
         U = U.at[dense["dense_ids"]].set(x, mode="drop")
         if with_sse:
             r2 = r2 + dr2
@@ -238,10 +259,7 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
         rid = bucket["row_ids"]
         hv = bucket.get("hot_vals") if hot_vT is not None else None  # (C, B)
         b, p = bucket["indices"].shape
-        # Small-batch WIDE buckets (whales): a 512-chunk scan over a 100k
-        # width is hundreds of latency-bound steps doing (8, 512, k) of work
-        # each — widen the chunk so every scan step gathers ~32k rows.
-        chunk = min(p, max(cfg.chunk, (32_768 // max(b, 1)) // 8 * 8))
+        chunk = widen_chunk(cfg.chunk, b, p)
         if cfg.reg_by_degree:
             deg_row = bucket["mask"].sum(-1)
             if hv is not None:
@@ -249,6 +267,16 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
             reg_row = cfg.reg * jnp.maximum(deg_row, 1.0)
         else:
             reg_row = jnp.full((b,), cfg.reg, jnp.float32)
+        if cfg.reg == 0 and g0 is None:
+            # reg=0: zero-degree rows (padding sentinels AND truly empty
+            # rows) have G=0, rhs=0 — chol(0) factors to NaN. Their rhs is
+            # zero, so ANY positive ridge solves them to exactly 0: floor
+            # it. Statically gated — zero cost on the normal reg>0 path.
+            # (r4 review; the implicit objective's g0 keeps G PD instead.)
+            deg0 = bucket["mask"].sum(-1)
+            if hv is not None:
+                deg0 = deg0 + (hv != 0).astype(jnp.float32).sum(0)
+            reg_row = jnp.where(deg0 > 0, reg_row, 1.0)
         # Row-block big buckets so the gathered (rows, P, k) temp stays
         # under the HBM budget. The SOLVE runs inside the scan too, so a
         # big bucket's (k, k, bb) normal equations exist one block at a
@@ -448,9 +476,7 @@ def masked_sse(
         idx, val, msk, rid = b["indices"], b["values"], b["mask"], b["row_ids"]
         hv = b.get("hot_vals") if hot_V is not None else None
         bsz, p = idx.shape
-        # widen the chunk for small wide (whale) buckets — same rationale as
-        # solve_all_buckets
-        chunk_b = min(p, max(chunk, (32_768 // max(bsz, 1)) // 8 * 8))
+        chunk_b = widen_chunk(chunk, bsz, p)
         bb = max(8, (gather_budget_mb * (1 << 20))
                  // (min(p, chunk_b) * k * 4) // 8 * 8)
         if bsz <= bb:
@@ -551,51 +577,11 @@ def make_scanned_fit(
                              gather_budget_mb=cfg.gather_budget_mb)
         return U, V, sse
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def _fit(U, V, ub, ib):
-        def body(carry, _):
-            U, V = carry
-            U, V, sse = one_sweep(U, V, ub, ib)
-            return (U, V), sse
-
-        (U, V), sse = jax.lax.scan(body, (U, V), None, length=n_sweeps)
-        return U, V, sse, jnp.int32(n_sweeps)
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def _fit_tol(U, V, ub, ib):
-        hist0 = jnp.full((n_sweeps,), -1.0, jnp.float32)  # -1 = not run
-        # (a NaN sentinel would trip jax_debug_nans, which tests enable)
-
-        def cond(carry):
-            _, _, hist, i = carry
-            # clamp: near-interpolation f32 SSE can round slightly negative
-            # (sqrt would NaN and silently end the loop)
-            prev = jnp.sqrt(jnp.maximum(hist[jnp.maximum(i - 2, 0)], 0.0)
-                            / nnz)
-            cur = jnp.sqrt(jnp.maximum(hist[jnp.maximum(i - 1, 0)], 0.0)
-                           / nnz)
-            improving = jnp.logical_or(i < 2, jnp.abs(prev - cur) >= tol)
-            return jnp.logical_and(i < n_sweeps, improving)
-
-        def body(carry):
-            U, V, hist, i = carry
-            U, V, sse = one_sweep(U, V, ub, ib)
-            return U, V, hist.at[i].set(sse), i + 1
-
-        U, V, hist, i = jax.lax.while_loop(
-            cond, body, (U, V, hist0, jnp.int32(0)))
-        # i = sweeps actually run: the SCALE-SAFE truth for trimming the
-        # history (a sentinel-vs-value compare is not — near-interpolation
-        # identity-SSE cancellation error grows ~r2*eps and could cross
-        # any fixed cutoff at large nnz)
-        return U, V, hist, i
-
-    def fit(U, V):
-        if tol > 0:
-            return _fit_tol(U, V, user_buckets, item_buckets)
-        return _fit(U, V, user_buckets, item_buckets)
-
-    return fit
+    # the generic wrapper owns the scan/while_loop/tol/history machinery
+    # (one copy for single-device, sharded, and hybrid fits — r4 review
+    # deduped the three near-verbatim implementations)
+    return make_scanned_program_fit(one_sweep, n_sweeps, tol, nnz,
+                                    (user_buckets, item_buckets))
 
 
 def make_scanned_program_fit(sweep_sse, n_sweeps: int, tol: float, nnz: int,
@@ -654,4 +640,6 @@ def make_scanned_program_fit(sweep_sse, n_sweeps: int, tol: float, nnz: int,
 
 
 __all__ = ["DeviceBuckets", "device_buckets", "half_sweep", "masked_sse",
-           "make_sweep_fns", "make_scanned_fit"]
+           "make_sweep_fns", "make_scanned_fit",
+           "make_scanned_program_fit", "resolve_gather_budget",
+           "solve_all_buckets", "widen_chunk"]

@@ -71,3 +71,25 @@ def test_empty_rows_and_cols_solve_to_zero():
     np.testing.assert_array_equal(m.V_[0], 0.0)
     np.testing.assert_array_equal(m.U_[5], 0.0)
     np.testing.assert_array_equal(m.V_[4], 0.0)
+
+
+def test_reg_zero_solves_empty_rows_to_zero():
+    """r4 review: at reg=0, zero-degree rows (padding sentinels AND truly
+    empty rows) had G=0 — chol(0) NaN'd. Their rhs is zero, so the ridge
+    floor solves them to exactly 0 and the fit stays finite."""
+    import scipy.sparse as sp
+    from recommendation_models_tpu.models.als import ALS
+
+    # rows 1, 3, 4 empty; every ITEM has degree 2 >= rank (degree < rank
+    # at reg=0 is a legitimately singular system — scipy raises there too)
+    R = np.zeros((5, 4), np.float32)
+    R[0] = [3.0, 1.0, 2.0, 4.0]
+    R[2] = [2.0, 4.0, 1.0, 3.0]
+    m = ALS(rank=2, reg=0.0, n_sweeps=2).fit(sp.csr_matrix(R))
+    assert np.isfinite(m.U_).all() and np.isfinite(m.V_).all()
+    np.testing.assert_array_equal(m.U_[[1, 3, 4]], 0.0)
+    # reg=0 fully observed also finite
+    full = np.abs(np.random.default_rng(0).standard_normal((6, 5))) + 1.0
+    m2 = ALS(rank=2, reg=0.0, n_sweeps=2).fit(
+        sp.csr_matrix(full.astype(np.float32)))
+    assert np.isfinite(m2.U_).all()
