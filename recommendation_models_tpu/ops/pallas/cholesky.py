@@ -981,6 +981,18 @@ def _cholesky_solve_t_hot(Gt: jnp.ndarray, rhst: jnp.ndarray,
     vma = vma | frozenset(getattr(jax.typeof(rhst), "vma", ()) or ())
     if vma:
         out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32, vma=vma)
+        # inside shard_map an UNVARYING operand (e.g. the constant reg
+        # vector the sweep builds with jnp.full, and the replicated hot
+        # factor rows) must be pcast to varying to match the declared out
+        # vma — the non-hot wrapper has carried this since the shard_map
+        # port; its absence HERE crashed the default-config sharded TPU
+        # fit (hot columns + allgather — r4 review finding 1)
+        regv = jax.lax.pcast(regv, tuple(vma), to="varying") \
+            if not getattr(jax.typeof(regv), "vma", None) else regv
+        hvT = jax.lax.pcast(hvT, tuple(vma), to="varying") \
+            if not getattr(jax.typeof(hvT), "vma", None) else hvT
+        vT = jax.lax.pcast(vT, tuple(vma), to="varying") \
+            if not getattr(jax.typeof(vT), "vma", None) else vT
     else:
         out_shape = jax.ShapeDtypeStruct((k, b), jnp.float32)
     return pl.pallas_call(

@@ -17,9 +17,14 @@ import jax.numpy as jnp
 
 
 def _default_platform() -> str:
+    # jax accepts a plain STRING for jax_default_device ('cpu'): mirror
+    # cholesky._use_interpret's str(dev) fallback or the resolvers pick
+    # TPU settings (pallas + bf16) while the kernels interpret on CPU
+    # (r4 review)
     dev = jax.config.jax_default_device
-    platform = getattr(dev, "platform", None) if dev is not None else None
-    return platform if platform is not None else jax.default_backend()
+    if dev is not None:
+        return getattr(dev, "platform", str(dev))
+    return jax.default_backend()
 
 
 def resolve_solver(solver: str) -> str:
@@ -55,11 +60,25 @@ def solve_spd(G: jnp.ndarray, rhs: jnp.ndarray, solver: str = "xla") -> jnp.ndar
     G: (..., k, k), rhs: (..., k) -> x: (..., k).
     """
     solver = resolve_solver(solver)
+    # normalize (..., k, k) to one flat batch axis: the pallas kernel and
+    # the TPU chunking below are 3-D-only (2-D and 4-D+ inputs crashed on
+    # the pallas branch and skipped the scoped-vmem chunking — r4 review)
+    k = G.shape[-1]
+    batch_shape = G.shape[:-2]
+    G = G.reshape((-1,) + G.shape[-2:])
+    rhs = rhs.reshape((-1, k))
+    b = G.shape[0]
+    if b == 0:
+        return jnp.zeros(batch_shape + (k,), jnp.float32)
+
+    def _restore(x):
+        return x.reshape(batch_shape + (k,))
+
     if solver == "pallas":
         from recommendation_models_tpu.ops.pallas.cholesky import (
             cholesky_solve, pallas_supported)
-        if pallas_supported(G.shape[-1], G.shape[0] if G.ndim == 3 else 1):
-            return cholesky_solve(G, rhs)
+        if pallas_supported(k, b):
+            return _restore(cholesky_solve(G, rhs))
         solver = "xla"   # multi-block k>160: Mosaic lane limit (cholesky.py)
     if solver not in ("lu", "xla"):
         raise ValueError(f"unknown solver {solver!r}")
@@ -77,14 +96,23 @@ def solve_spd(G: jnp.ndarray, rhs: jnp.ndarray, solver: str = "xla") -> jnp.ndar
             L, y, left_side=True, lower=True, transpose_a=True)
         return x[..., 0]
 
-    if G.ndim == 3 and _default_platform() == "tpu":
-        b, k = G.shape[0], G.shape[-1]
+    if _default_platform() == "tpu":
         bc = max(8, (6 * 2**20) // (k * k * 8) // 8 * 8)
         if b > bc:
-            return jnp.concatenate(
-                [_solve_block(G[s:s + bc], rhs[s:s + bc])
-                 for s in range(0, b, bc)], axis=0)
-    return _solve_block(G, rhs)
+            # ONE traced body via lax.map (a Python loop of b/bc slices
+            # inflated every sweep's compile at k>160 scale — r4 review);
+            # identity-pad so padding systems factor cleanly
+            pad = (-b) % bc
+            if pad:
+                tail = (jnp.arange(b + pad) >= b).astype(G.dtype)
+                G = jnp.pad(G, ((0, pad), (0, 0), (0, 0))) + (
+                    tail[:, None, None] * jnp.eye(k, dtype=G.dtype))
+                rhs = jnp.pad(rhs, ((0, pad), (0, 0)))
+            x = jax.lax.map(
+                lambda ab: _solve_block(*ab),
+                (G.reshape(-1, bc, k, k), rhs.reshape(-1, bc, k)))
+            return _restore(x.reshape(-1, k)[:b])
+    return _restore(_solve_block(G, rhs))
 
 
 def solve_spd_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
@@ -96,6 +124,8 @@ def solve_spd_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
 
     ``reg_vec`` (B,): per-system ridge, applied inside the Pallas kernel
     (fused with the load) or via flat_ridge on the fallback paths."""
+    if G_flat.shape[0] == 0:
+        return jnp.zeros((0, k), jnp.float32)
     solver = resolve_solver(solver)
     if solver == "pallas" and k % 8 == 0:
         from recommendation_models_tpu.ops.pallas.cholesky import (
@@ -131,6 +161,8 @@ def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
     per ML-25M bucket); fallbacks add normally.
     """
     k, _, b = Gt.shape
+    if b == 0:
+        return jnp.zeros((k, 0), jnp.float32)
     if reg_vec is None:
         regv = jnp.zeros((1, b), jnp.float32)
     else:
@@ -165,7 +197,9 @@ def solve_spd_t(Gt: jnp.ndarray, rhst: jnp.ndarray,
                               else Gt2.astype(jnp.float32))
         return x[:, :b]
     if Gt2 is not None:
-        Gt = Gt + Gt2
+        # upcast BEFORE the add: a bf16 sum re-rounds the combined gram
+        # (the PSD rule) on exactly the correctness-anchor path (r4 review)
+        Gt = Gt.astype(jnp.float32) + Gt2.astype(jnp.float32)
     G = jnp.transpose(Gt, (2, 0, 1)).astype(jnp.float32)
     if reg_vec is not None:
         G = G + (regv[0][:, None, None] * jnp.eye(k, dtype=G.dtype))
@@ -191,8 +225,13 @@ def solve_spd_t_hot(Gt: jnp.ndarray, rhst: jnp.ndarray, hvT: jnp.ndarray,
     from recommendation_models_tpu.ops.gram import objective_weights
 
     k, _, b = Gt.shape
+    if b == 0:
+        return jnp.zeros((k, 0), jnp.float32)
     solver = resolve_solver(solver)
-    if solver == "pallas" and k % 8 == 0 and k <= 160:
+    from recommendation_models_tpu.ops.pallas.cholesky import pallas_supported
+    # gate via pallas_supported (the literal k<=160 drifted from
+    # block_batch's thresholds twice in round 3 — r4 review)
+    if solver == "pallas" and k % 8 == 0 and pallas_supported(k, b):
         from recommendation_models_tpu.ops.pallas.cholesky import (
             _cholesky_solve_t_hot, _use_interpret, block_batch, hot_cols_cap)
         if hvT.shape[0] <= hot_cols_cap(k):
@@ -245,5 +284,6 @@ def flat_ridge(G_flat: jnp.ndarray, k: int, reg, degrees=None) -> jnp.ndarray:
     return G_flat + scale[:, None] * eye_flat
 
 
-__all__ = ["solve_spd", "solve_spd_flat", "solve_spd_t", "add_ridge",
-           "flat_ridge", "resolve_solver", "resolve_compute_dtype"]
+__all__ = ["solve_spd", "solve_spd_flat", "solve_spd_t", "solve_spd_t_hot",
+           "add_ridge", "flat_ridge", "resolve_solver",
+           "resolve_compute_dtype"]

@@ -19,6 +19,8 @@ run bench_r64 2400 env BENCH_SCALE=ml25m BENCH_RANK=64 python bench.py
 run bench_r64_imp 1200 env BENCH_SCALE=ml25m BENCH_RANK=64 BENCH_ALPHA=40 python bench.py
 # 3. rank-128
 run bench_r128 1800 env BENCH_SCALE=ml25m BENCH_RANK=128 python bench.py
+# 3b. sharded+hot+pallas vma smoke (r4 fix validation)
+run sharded_hot 900 python scripts/smoke_sharded_hot_tpu.py
 # 4. DMA gather probe (ledger)
 run dma_probe 900 python scripts/probe_dma_gather.py
 # 5. scanned sharded fit delta, 1-shard real mesh

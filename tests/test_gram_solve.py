@@ -334,3 +334,35 @@ def test_solve_spd_t_two_operand_multiblock_falls_back(rng):
     ref = np.stack([np.linalg.solve(G1[i] + G2[i], rhs[i]) for i in range(b)])
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(x, ref, atol=5e-4 * scale, rtol=5e-4)
+
+
+def test_solve_spd_shape_normalization_and_empty():
+    """r4 review: 2-D and 4-D G crashed the pallas branch and skipped the
+    TPU chunking; empty batches crashed with ZeroDivisionError."""
+    import jax.numpy as jnp
+    from recommendation_models_tpu.ops.solve import (
+        solve_spd, solve_spd_flat, solve_spd_t)
+
+    rng = np.random.default_rng(17)
+    k = 8
+    A = rng.standard_normal((k, 2 * k)).astype(np.float32)
+    G2 = A @ A.T + 0.5 * np.eye(k, dtype=np.float32)     # one SPD system
+    r2 = rng.standard_normal(k).astype(np.float32)
+    ref = np.linalg.solve(G2, r2)
+    for solver in ("xla", "pallas", "lu"):
+        x = solve_spd(jnp.asarray(G2), jnp.asarray(r2), solver)   # 2-D
+        np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-4, atol=2e-5)
+    G4 = np.broadcast_to(G2, (2, 3, k, k))
+    r4 = np.broadcast_to(r2, (2, 3, k))
+    x4 = solve_spd(jnp.asarray(G4), jnp.asarray(r4), "pallas")
+    assert x4.shape == (2, 3, k)
+    np.testing.assert_allclose(np.asarray(x4)[1, 2], ref, rtol=2e-4,
+                               atol=2e-5)
+    # empty batches return clean empties on every path
+    for solver in ("xla", "pallas"):
+        assert solve_spd(jnp.zeros((0, k, k)), jnp.zeros((0, k)),
+                         solver).shape == (0, k)
+        assert solve_spd_t(jnp.zeros((k, k, 0)), jnp.zeros((k, 0)),
+                           solver).shape == (k, 0)
+        assert solve_spd_flat(jnp.zeros((0, k * k)), jnp.zeros((0, k)), k,
+                              solver).shape == (0, k)
