@@ -267,10 +267,10 @@ def imc_bench(scale, rank, n_users, n_items) -> None:
     W0 = jnp.asarray(0.1 * rng0.standard_normal((d_user, rank)), jnp.float32)
     H0 = jnp.asarray(0.1 * rng0.standard_normal((d_item, rank)), jnp.float32)
     Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
-    _, _, hist = fit_all(W0, H0, Xd, Yd, ub, ib)
+    _, _, hist, _ = fit_all(W0, H0, Xd, Yd, ub, ib)
     _ = np.asarray(hist)                    # compile + fence placements
     t0 = time.perf_counter()
-    _, _, hist = fit_all(W0, H0, Xd, Yd, ub, ib)
+    _, _, hist, _ = fit_all(W0, H0, Xd, Yd, ub, ib)
     _ = np.asarray(hist)                    # dependent readback = the fence
     fit_s = time.perf_counter() - t0
 

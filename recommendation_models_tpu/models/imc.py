@@ -54,22 +54,60 @@ def _as_triplets(R) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return users, indices.astype(np.int32), data
 
 
-def _factor_grams(Z, buckets, n_rows):
+def _factor_grams(Z, buckets, n_rows, chunk: int = 512,
+                  gather_budget_mb: int = 0):
     """Per-row grams G (n_rows, k, k) = Σ_Ω z z^T, RHS (n_rows, k) = Σ_Ω r z,
-    and Σ r² — one nnz gather, reusing the ALS padded-layout machinery."""
+    and Σ r² — one nnz gather, reusing the ALS padded-layout machinery.
+
+    Big buckets are processed in ROW BLOCKS so the gathered
+    (rows, chunk, k) temp stays under the HBM budget (the repo-wide
+    invariant — required at ML-25M+ scale; the unbounded per-bucket
+    gather OOM'd there, r4 review). Budget resolves through the same
+    rank/size-aware policy as ALS (solver.als_sweep.resolve_gather_budget).
+    """
     from recommendation_models_tpu.ops.gram import gram_rhs
+    from recommendation_models_tpu.solver.als_sweep import (
+        resolve_gather_budget)
+    from recommendation_models_tpu.utils.compat import match_vma
 
     k = Z.shape[-1]
+    # for_sse: like the SSE pass, this is a pure accumulate with no solve
+    # to pipeline against — tiny blocks would only pay scan overhead
+    budget_mb = resolve_gather_budget(gather_budget_mb, k, buckets,
+                                      for_sse=True)
     G = jnp.zeros((n_rows, k, k), jnp.float32)
     RHS = jnp.zeros((n_rows, k), jnp.float32)
     r2 = jnp.zeros((), jnp.float32)
     for b in buckets:
-        g, r = gram_rhs(Z, b["indices"], b["mask"],
-                        b["mask"] * b["values"], chunk=512)
-        rid = b["row_ids"]
-        G = G.at[rid].add(g, mode="drop")
-        RHS = RHS.at[rid].add(r, mode="drop")
-        r2 = r2 + jnp.sum(b["mask"] * b["values"] ** 2)
+        bsz, p = b["indices"].shape
+        bb = max(8, (budget_mb * (1 << 20))
+                 // (min(p, chunk) * k * 4) // 8 * 8)
+        if bsz <= bb:
+            g, r = gram_rhs(Z, b["indices"], b["mask"],
+                            b["mask"] * b["values"], chunk=chunk)
+            G = G.at[b["row_ids"]].add(g, mode="drop")
+            RHS = RHS.at[b["row_ids"]].add(r, mode="drop")
+            r2 = r2 + jnp.sum(b["mask"] * b["values"] ** 2)
+            continue
+        n_bb = -(-bsz // bb)
+        pad = n_bb * bb - bsz
+        idx_s = jnp.pad(b["indices"], ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+        msk_s = jnp.pad(b["mask"], ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+        val_s = jnp.pad(b["values"], ((0, pad), (0, 0))).reshape(n_bb, bb, p)
+        rid_s = jnp.pad(b["row_ids"], (0, pad), constant_values=n_rows
+                        ).reshape(n_bb, bb)
+
+        def body(carry, xs):
+            G, RHS, r2 = carry
+            rid_b, idx_b, msk_b, val_b = xs
+            g, r = gram_rhs(Z, idx_b, msk_b, msk_b * val_b, chunk=chunk)
+            return (G.at[rid_b].add(g, mode="drop"),
+                    RHS.at[rid_b].add(r, mode="drop"),
+                    r2 + jnp.sum(msk_b * val_b ** 2)), None
+
+        init = match_vma((G, RHS, r2), (Z, b["indices"]))
+        (G, RHS, r2), _ = jax.lax.scan(body, init,
+                                       (rid_s, idx_s, msk_s, val_s))
     return G, RHS, r2
 
 
@@ -136,7 +174,7 @@ def _imc_program(reg, cg_iters, n_sweeps, n_users, n_items, tol=0.0):
             return (W, H), obj
 
         (W, H), hist = jax.lax.scan(body, (W, H), None, length=n_sweeps)
-        return W, H, hist
+        return W, H, hist, jnp.int32(n_sweeps)
 
     @jax.jit
     def fit_tol(W, H, X, Y, ub, ib):
@@ -154,9 +192,13 @@ def _imc_program(reg, cg_iters, n_sweeps, n_users, n_items, tol=0.0):
             W, H, obj = one_sweep(W, H, X, Y, ub, ib)
             return W, H, hist.at[i].set(obj), i + 1
 
-        W, H, hist, _ = jax.lax.while_loop(
+        W, H, hist, i = jax.lax.while_loop(
             cond, body, (W, H, hist0, jnp.int32(0)))
-        return W, H, hist
+        # i = sweeps actually run: the trim truth (an obj>=0 value test is
+        # NOT — f32 cancellation near interpolation can round a real
+        # sweep's objective slightly negative, and NaN divergence should
+        # surface, not vanish — r4 review)
+        return W, H, hist, i
 
     return fit_tol if tol > 0 else fit_all
 
@@ -306,10 +348,6 @@ class IMC(BaseEstimator):
         if self.rank < 1:
             raise ValueError(f"rank must be >= 1, got {self.rank}")
         users, items, ratings = _as_triplets(R)
-        # seen items per user, for recommend(exclude_seen=True)
-        from recommendation_models_tpu.evaluate import grouped_by_user
-        self._train_indptr, self._train_items = grouped_by_user(
-            users, items, int(np.asarray(X).shape[0]))
         X = jnp.asarray(X, jnp.float32)
         Y = jnp.asarray(Y, jnp.float32)
         n_users, n_items = X.shape[0], Y.shape[0]
@@ -318,6 +356,10 @@ class IMC(BaseEstimator):
                 f"observation ids exceed feature rows: max user "
                 f"{users.max()} vs X rows {n_users}, max item {items.max()} "
                 f"vs Y rows {n_items}")
+        if users.size and (users.min() < 0 or items.min() < 0):
+            raise ValueError(
+                f"observation ids must be non-negative; got min user "
+                f"{users.min()}, min item {items.min()}")
 
         from recommendation_models_tpu.config import DataConfig
         from recommendation_models_tpu.solver.als_sweep import device_buckets
@@ -364,14 +406,9 @@ class IMC(BaseEstimator):
             # Whole fit = ONE device program (lax.scan over sweeps, or a
             # tol while_loop); no per-sweep host round trips (matters
             # doubly over the remote-attached TPU tunnel).
-            W, H, hist = run_sweeps(W, H, self._n_sweeps,
-                                    tol=float(self.tol))
-            hist = np.asarray(hist, np.float64)
-            if self.tol > 0:
-                # -1 marks sweeps never run; the objective itself is
-                # always >= 0 (½ sse + λ/2 norms), so the value trim is
-                # exact
-                hist = hist[hist >= 0]
+            W, H, hist, n_done = run_sweeps(W, H, self._n_sweeps,
+                                            tol=float(self.tol))
+            hist = np.asarray(hist, np.float64)[: int(n_done)]
             self.history_ = list(hist)
         else:
             # Per-sweep host loop reusing ONE compiled length-1 program:
@@ -380,7 +417,7 @@ class IMC(BaseEstimator):
             self.history_ = []
             prev = None
             for s in range(self._n_sweeps):
-                W, H, hist = run_sweeps(W, H, 1)
+                W, H, hist, _ = run_sweeps(W, H, 1)
                 cur = float(np.asarray(hist)[-1])
                 self.history_.append(cur)
                 if self.verbose:
@@ -395,6 +432,13 @@ class IMC(BaseEstimator):
         self.W_ = to_host(W) if sharded else np.asarray(W)
         self.H_ = to_host(H) if sharded else np.asarray(H)
         self._X, self._Y = np.asarray(X), np.asarray(Y)
+        # seen items per user for recommend(exclude_seen=True) — assigned
+        # LAST, atomically with the factors: a refit that fails partway
+        # must never leave new-data serving state paired with the old
+        # fit's factors (r4 review)
+        from recommendation_models_tpu.evaluate import grouped_by_user
+        self._train_indptr, self._train_items = grouped_by_user(
+            users, items, n_users)
         self._veff_cache = None     # projected catalog: rebuilt lazily
         return self
 
@@ -419,17 +463,16 @@ class IMC(BaseEstimator):
         il = shard_layout(item_layout, S)
         n_users, n_items = X.shape[0], Y.shape[0]
 
+        # shared multi-process-safe placement (parallel.mesh — r4 review
+        # deduped the verbatim copies here and in sharded_als)
+        from recommendation_models_tpu.parallel.mesh import (
+            replicate_put, shard_put as _sp)
+
         def shard_put(x):
-            x = np.asarray(x)
-            sharding = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
-            return jax.make_array_from_callback(
-                x.shape, sharding, lambda idx: x[idx])
+            return _sp(mesh, axis, x)
 
         def repl_put(x):
-            x = np.asarray(x)
-            sharding = NamedSharding(mesh, P(*([None] * x.ndim)))
-            return jax.make_array_from_callback(
-                x.shape, sharding, lambda idx: x[idx])
+            return replicate_put(mesh, x)
 
         def pad_rows(A, rows_per_shard):
             return np.pad(np.asarray(A, np.float32),
@@ -525,8 +568,9 @@ class IMC(BaseEstimator):
             # sharded tol fits route through the host stepwise loop
             # (fit() guarantees tol == 0 here)
             assert tol == 0.0
-            return make_prog(length)(repl_put(W), repl_put(H),
-                                     Xp, Yp, ub, ib)
+            W, H, hist = make_prog(length)(repl_put(W), repl_put(H),
+                                           Xp, Yp, ub, ib)
+            return W, H, hist, length
 
         return run_sweeps
 
@@ -572,12 +616,26 @@ class IMC(BaseEstimator):
         if not hasattr(self, "W_"):
             raise RuntimeError("this IMC instance is not fitted yet")
 
+    def _features(self, X, Y):
+        """Resolve (X, Y) against the training features with a GUIDED error
+        when absent (a resumed-from-checkpoint estimator has factors but no
+        features — a bare AttributeError told the user nothing; r4
+        review)."""
+        if (X is None and not hasattr(self, "_X")) or (
+                Y is None and not hasattr(self, "_Y")):
+            raise RuntimeError(
+                "feature matrices unavailable: this estimator was resumed "
+                "from a checkpoint without training features — pass X and "
+                "Y explicitly (or call fit())")
+        X = self._X if X is None else np.asarray(X, np.float32)
+        Y = self._Y if Y is None else np.asarray(Y, np.float32)
+        return X, Y
+
     def predict(self, users, items, X=None, Y=None) -> np.ndarray:
         """Predict ratings; pass fresh X/Y rows for inductive cold-start
         entities (users/items then index into the given matrices)."""
         self._check_fitted()
-        X = self._X if X is None else np.asarray(X, np.float32)
-        Y = self._Y if Y is None else np.asarray(Y, np.float32)
+        X, Y = self._features(X, Y)
         users = np.asarray(users, np.int64)
         items = np.asarray(items, np.int64)
         return np.einsum("ok,ok->o", X[users] @ self.W_, Y[items] @ self.H_)
@@ -587,8 +645,13 @@ class IMC(BaseEstimator):
         SURVEY.md §2.1 row 8); pass a fresh 1-row ``X`` for a cold-start
         user."""
         self._check_fitted()
-        X = self._X if X is None else np.asarray(X, np.float32)
-        Y = self._Y if Y is None else np.asarray(Y, np.float32)
+        X, Y = self._features(X, Y)
+        if Y is getattr(self, "_Y", None):
+            # serving loops call this per user: reuse recommend()'s cached
+            # catalog projection instead of redoing the (n_items, d) @
+            # (d, k) matmul every call (r4 review)
+            Veff = np.asarray(self._veff_cached())
+            return Veff @ (X[user] @ self.W_)
         return (X[user] @ self.W_) @ (Y @ self.H_).T
 
     def rmse(self, R, X=None, Y=None) -> float:
@@ -599,6 +662,22 @@ class IMC(BaseEstimator):
     def score(self, R, X=None, Y=None) -> float:
         """Negative RMSE over observed entries (higher is better)."""
         return -self.rmse(R, X, Y)
+
+    def _veff_cached(self):
+        """The projected training catalog ``_Y @ H_``, cached across
+        serving calls (VERDICT r2 weak item 2). Keyed on H_'s CONTENT
+        (tiny — hashing is microseconds) + _Y's identity (large; the cache
+        HOLDS it so its id can't be recycled): any swap OR in-place
+        mutation of H_, and any swap of _Y, invalidates with no explicit
+        reset (ADVICE r3 + r4 review). In-place edits of the big _Y remain
+        the caller's responsibility — hashing the full catalog every call
+        would dwarf the projection it caches."""
+        h_key = hash(np.asarray(self.H_).tobytes())
+        cache = getattr(self, "_veff_cache", None)
+        if cache is None or cache[0] != h_key or cache[1] is not self._Y:
+            self._veff_cache = (h_key, self._Y,
+                                jnp.asarray(self._Y @ self.H_))
+        return self._veff_cache[2]
 
     def recommend(self, user_ids, n: int = 10, X=None, Y=None,
                   exclude_seen: bool = False, method: str = "auto",
@@ -630,22 +709,7 @@ class IMC(BaseEstimator):
         if fresh_Y:
             Veff = jnp.asarray(Y @ self.H_)
         else:
-            # serving loops call recommend() repeatedly against the training
-            # catalog: project Y @ H_ once and reuse (VERDICT r2 weak item
-            # 2). Keyed on H_'s CONTENT (tiny: (d_item, k), hashing it is
-            # microseconds) + _Y's identity (large; the cache HOLDS it so
-            # its id can't be recycled): any swap OR in-place mutation of
-            # H_, and any swap of _Y, invalidates with no explicit reset
-            # (ADVICE r3 + r4 review). In-place edits of the big _Y remain
-            # the caller's responsibility — hashing the full catalog every
-            # recommend() would dwarf the projection it caches.
-            h_key = hash(np.asarray(self.H_).tobytes())
-            cache = getattr(self, "_veff_cache", None)
-            if (cache is None or cache[0] != h_key
-                    or cache[1] is not self._Y):
-                self._veff_cache = (h_key, self._Y,
-                                    jnp.asarray(self._Y @ self.H_))
-            Veff = self._veff_cache[2]
+            Veff = self._veff_cached()
         n = min(n, Veff.shape[0])
 
         def query_rows(ids):
@@ -665,9 +729,19 @@ class IMC(BaseEstimator):
                 "training indices (e.g. resumed from a checkpoint): seen "
                 "items canNOT be excluded; serving unfiltered scores. "
                 "Call fit() to restore exclusion.", stacklevel=2)
-        # fresh-X queries index a DIFFERENT user space: only exclude when
-        # the ids address the training matrix
-        if (exclude_seen and hasattr(self, "_train_indptr")
+        if exclude_seen and fresh_Y:
+            # training item ids address the TRAINING catalog's rows:
+            # excluding them from a FRESH Y's score rows would silently
+            # drop arbitrary new-catalog items (r4 review)
+            import warnings
+            warnings.warn(
+                "recommend(exclude_seen=True) with a fresh Y catalog: "
+                "seen-item exclusion applies to the training catalog "
+                "only; serving unfiltered scores over the new catalog.",
+                stacklevel=2)
+        # fresh-X queries index a DIFFERENT user space, fresh-Y a
+        # different catalog: only exclude when both address training data
+        if (exclude_seen and hasattr(self, "_train_indptr") and not fresh_Y
                 and X is getattr(self, "_X", None) and user_ids.size):
             # degree-bucketed exclusion, shared with ALS (one whale user
             # must not drag every row's overfetch to catalog width)

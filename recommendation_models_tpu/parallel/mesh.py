@@ -139,6 +139,29 @@ def get_hybrid_mesh(n_shards: Optional[int] = None,
     return Mesh(grid, tuple(axes))
 
 
+def shard_put(mesh: Mesh, axis: str, x) -> jax.Array:
+    """Place a host array row-sharded along ``axis`` via
+    ``make_array_from_callback`` — each process places only its
+    addressable shards, so the same code path serves one process or a
+    multi-host pod slice (SURVEY.md N6). The ONE shared placement helper
+    (r4 review: sharded_als and the IMC runner carried verbatim copies)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
+def replicate_put(mesh: Mesh, x) -> jax.Array:
+    """Place a host array REPLICATED on every device of the mesh (same
+    multi-process-safe callback placement as shard_put)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, P(*([None] * x.ndim)))
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def to_host(x) -> np.ndarray:
     """Fetch a (possibly multi-host sharded) jax.Array to host NumPy.
 
@@ -152,5 +175,6 @@ def to_host(x) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
-__all__ = ["get_mesh", "get_hybrid_mesh", "initialize_distributed",
+__all__ = ["shard_put", "replicate_put",
+           "get_mesh", "get_hybrid_mesh", "initialize_distributed",
            "to_host"]

@@ -181,22 +181,15 @@ class ShardedALSProgram:
         self._uplan_host, self._iplan_host = u_plan, i_plan
 
         axis = self.axis
+        # shared multi-process-safe placement (parallel.mesh)
+        from recommendation_models_tpu.parallel.mesh import (
+            replicate_put, shard_put as _shard_put)
 
         def shard_put(x):
-            # make_array_from_callback (not device_put): each process places
-            # only its addressable shards, so the same code path serves one
-            # process or a multi-host pod slice (SURVEY.md N6).
-            x = np.asarray(x)
-            spec = P(axis, *([None] * (x.ndim - 1)))
-            sharding = NamedSharding(mesh, spec)
-            return jax.make_array_from_callback(
-                x.shape, sharding, lambda idx: x[idx])
+            return _shard_put(mesh, axis, x)
 
         def repl_put(x):
-            x = np.asarray(x)
-            sharding = NamedSharding(mesh, P(*([None] * x.ndim)))
-            return jax.make_array_from_callback(
-                x.shape, sharding, lambda idx: x[idx])
+            return replicate_put(mesh, x)
 
         def put_buckets(layout: ShardedLayout, plan: Optional[ExchangePlan]):
             out = []

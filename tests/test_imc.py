@@ -363,3 +363,85 @@ def test_imc_recommend_whale_batch_and_veff_cache():
     m.recommend(uq, n=4, method="exact")
     np.testing.assert_allclose(np.asarray(m._veff_cache[2]), veff_old,
                                rtol=1e-5)
+
+
+def test_fresh_catalog_exclusion_not_applied(imc_problem):
+    """r4 review: training item ids address the TRAINING catalog — with a
+    fresh Y, exclude_seen must serve unfiltered (with a warning), not drop
+    arbitrary new-catalog items at the training ids' positions."""
+    X, Y, users, items, r = imc_problem
+    m = IMC(rank=4, reg=0.1, n_sweeps=2, cg_iters=15, seed=0).fit(
+        (users, items, r), X, Y)
+    rng = np.random.default_rng(9)
+    Ynew = rng.standard_normal((30, Y.shape[1])).astype(np.float32)
+    import warnings as w
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        sc, it = m.recommend([0, 1], n=5, Y=Ynew, exclude_seen=True)
+    assert any("fresh Y" in str(x.message) for x in rec)
+    ref_s, ref_i = m.recommend([0, 1], n=5, Y=Ynew, exclude_seen=False)
+    np.testing.assert_array_equal(it, ref_i)      # unfiltered, not mangled
+
+
+def test_failed_refit_keeps_serving_state_consistent(imc_problem):
+    """r4 review: a refit that fails validation must not overwrite the
+    previous fit's exclusion lists."""
+    import pytest
+    X, Y, users, items, r = imc_problem
+    m = IMC(rank=4, reg=0.1, n_sweeps=2, cg_iters=15, seed=0).fit(
+        (users, items, r), X, Y)
+    before = (m._train_indptr.copy(), m._train_items.copy())
+    bad_users = users.copy(); bad_users[0] = 10_000
+    with pytest.raises(ValueError, match="exceed feature rows"):
+        m.fit((bad_users, items, r), X, Y)
+    np.testing.assert_array_equal(m._train_indptr, before[0])
+    np.testing.assert_array_equal(m._train_items, before[1])
+    with pytest.raises(ValueError, match="non-negative"):
+        m.fit((users, np.where(np.arange(items.size) == 0, -1, items), r),
+              X, Y)
+
+
+def test_resumed_predict_gives_guided_error(tmp_path, imc_problem):
+    """r4 review: predict/rmse on a checkpoint-resumed estimator raised a
+    bare AttributeError; now a guided RuntimeError like recommend()'s."""
+    import pytest
+    X, Y, users, items, r = imc_problem
+    d = str(tmp_path / "ck")
+    IMC(rank=4, reg=0.1, n_sweeps=2, cg_iters=10, seed=0,
+        checkpoint_dir=d, checkpoint_every=1).fit((users, items, r), X, Y)
+    m = IMC(rank=4)
+    m.resume(d)
+    with pytest.raises(RuntimeError, match="pass X and Y"):
+        m.predict([0], [1])
+    with pytest.raises(RuntimeError, match="pass X and Y"):
+        m.predict_all(0)
+    # explicit features work
+    p = m.predict([0], [1], X=X, Y=Y)
+    assert p.shape == (1,)
+
+
+def test_factor_grams_row_blocking_parity():
+    """r4 review: big buckets now accumulate in row blocks; results must
+    be identical to the unblocked path."""
+    import jax.numpy as jnp
+    from recommendation_models_tpu.config import DataConfig
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    from recommendation_models_tpu.models.imc import _factor_grams
+    from recommendation_models_tpu.solver.als_sweep import device_buckets
+
+    rng = np.random.default_rng(23)
+    n_rows, n_cols, k = 600, 80, 6
+    u = rng.integers(0, n_rows, 6000)
+    i = rng.integers(0, n_cols, 6000)
+    v = rng.uniform(1, 5, 6000).astype(np.float32)
+    lay = layout_from_coo(u, i, v, n_rows, n_cols,
+                          DataConfig(dense_whales=False, hot_cols=0))
+    bk = device_buckets(lay)
+    Z = jnp.asarray(rng.standard_normal((n_cols, k)), jnp.float32)
+    G1, R1, r1 = _factor_grams(Z, bk, n_rows, gather_budget_mb=4096)
+    G2, R2, r2 = _factor_grams(Z, bk, n_rows, gather_budget_mb=1)  # forces blocks
+    np.testing.assert_allclose(np.asarray(G2), np.asarray(G1), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R1), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(r2), float(r1), rtol=1e-5)
