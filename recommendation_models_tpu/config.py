@@ -115,20 +115,21 @@ class DataConfig:
     dense_whales: bool = True
     dense_budget_mb: int = 2048
     # Rows with MORE than this many observations go to the dense block
-    # (budget permitting, densest first). None => only rows wider than
-    # max_bucket (the pre-round-1 behavior). Default 512: profiling showed
-    # any bucket wide enough to need the chunked-gram lax.scan is faster as
-    # one dense MXU matmul (break-even degree is ~200 at ML-25M shapes,
-    # ~500 with the dense block's HBM traffic included). NOTE: that
-    # break-even was measured at rank 64 and scales ~k^2 — estimator entry
-    # points resolve it per rank via `dense_min_degree_for_rank`.
-    dense_min_degree: Optional[int] = 512
+    # (budget permitting, densest first). None = AUTO: estimator entry
+    # points resolve it per rank via `dense_min_degree_for_rank` (the
+    # break-even was measured at rank 64 — 512 — and scales ~k^2: 2048 at
+    # k=128); plain layout builders resolve None to 512. Whales-only (the
+    # pre-round-1 behavior) is dense_min_degree = max_bucket; no dense
+    # path at all is dense_whales=False. (r4 review: the old 512 default
+    # was conflated with "unset" by from_configs.)
+    dense_min_degree: Optional[int] = None
     # Dense hot-column block: up to this many of the most popular columns'
     # observations leave the gather buckets for per-bucket (B, C) f16 slabs
     # whose gram contribution is computed INSIDE the fused Pallas solve
     # kernel (the transpose of the whale trick — targets the Zipf HEAD;
-    # ML-25M rank-64: 0.374 -> 0.342 s/epoch). 0 disables (required for
-    # sharded execution). The raw-DataConfig default stays 0 because the
+    # ML-25M rank-64: 0.374 -> 0.342 s/epoch). 0 disables. Sharded fits
+    # keep hot columns under 'allgather'/'hybrid' exchange; 'all_to_all'
+    # requires 0 (its compact exchanged table cannot serve global ids). The raw-DataConfig default stays 0 because the
     # budget depends on rank; ALS's auto policy sets it to
     # ops.pallas.cholesky.hot_cols_auto(rank) (the VMEM cap, or 0 when the
     # cap is below break-even width). Every XLA-level formulation

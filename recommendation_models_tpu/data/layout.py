@@ -179,7 +179,10 @@ def build_layout(
         # feeds bf16/f32 matmul inputs) — halves HBM and doubles the budget.
         cap = max((cfg.dense_budget_mb * (1 << 20)) // (max(n_cols, 1) * 2), 0)
         thr = getattr(cfg, "dense_min_degree", None)
-        thr = S if thr is None else min(int(thr), S)
+        # None = auto: plain builders take the measured rank-64 default
+        # (estimator entry points resolve rank-aware before getting here)
+        thr = 512 if thr is None else int(thr)
+        thr = min(thr, S)
         cand = np.flatnonzero(degrees > thr)
         if cand.size and cap > 0:
             cand = cand[np.argsort(-degrees[cand], kind="stable")][:cap]

@@ -69,6 +69,7 @@ class ALS(BaseEstimator):
         verbose: int = 0,
         lambda_: Optional[float] = None,
         max_iter: Optional[int] = None,
+        data_config: Optional[DataConfig] = None,
     ):
         self.rank = rank
         self.reg = reg
@@ -97,6 +98,12 @@ class ALS(BaseEstimator):
         self.checkpoint_every = checkpoint_every
         self.layout_cache = layout_cache
         self.verbose = verbose
+        # full-fidelity structured layout config (overrides the individual
+        # layout kwargs; every DataConfig knob honored verbatim — the
+        # per-field from_configs mapping silently dropped dense_whales /
+        # dense_budget_mb / hot_min_count / bucket_merge_slack and
+        # conflated dense_min_degree sentinels, r4 review)
+        self.data_config = data_config
         # reference-name aliases (SURVEY.md §0 items 1-2: the reference's
         # exact kwarg names are unverifiable while the mount is empty;
         # accepting both makes the estimator a drop-in either way). When
@@ -150,6 +157,7 @@ class ALS(BaseEstimator):
     def V_(self, value):
         self._V_host = value
         self._V_dev = None
+        self._vdev_cache = None     # serving-side device copy is stale
 
     # ------------------------------------------------------------------
     @classmethod
@@ -174,14 +182,7 @@ class ALS(BaseEstimator):
             topology=mesh.topology,
             exchange=mesh.exchange, exchange_head=mesh.exchange_head,
             platform=mesh.platform,
-            min_bucket=data.min_bucket, max_bucket=data.max_bucket,
-            bucket_growth=data.bucket_growth,
-            hot_cols=data.hot_cols, layout_cache=data.layout_cache,
-            # the dataclass default (512) means "unset" here so rank>64
-            # configs keep the rank-aware auto threshold; 512 is what auto
-            # resolves to for every rank <= 64 anyway
-            dense_min_degree=(data.dense_min_degree
-                              if data.dense_min_degree != 512 else None),
+            data_config=data, layout_cache=data.layout_cache,
             n_sweeps=fit.n_sweeps, tol=fit.tol, seed=fit.seed,
             init_scale=fit.init_scale,
             checkpoint_dir=fit.checkpoint_dir,
@@ -197,6 +198,24 @@ class ALS(BaseEstimator):
         )
 
     def _data_config(self) -> DataConfig:
+        if self.data_config is not None:
+            # structured config taken VERBATIM except the two unresolved
+            # autos the dataclass documents (bucket_growth=None and
+            # dense_min_degree=None); every explicit value — including
+            # 512 at rank 128 — is honored literally (r4 review: the old
+            # per-field mapping conflated sentinels and dropped knobs)
+            import dataclasses
+            from recommendation_models_tpu.config import (
+                bucket_growth_for_rank, dense_min_degree_for_rank)
+            dcfg = self.data_config
+            if dcfg.bucket_growth is None:
+                dcfg = dataclasses.replace(
+                    dcfg, bucket_growth=bucket_growth_for_rank(self.rank))
+            if dcfg.dense_min_degree is None:
+                dcfg = dataclasses.replace(
+                    dcfg, dense_min_degree=dense_min_degree_for_rank(
+                        self.rank, dcfg.max_bucket))
+            return dcfg
         hot = self.hot_cols
         if hot is None:
             # auto: as many hot columns as the fused solve kernel's VMEM
@@ -204,8 +223,9 @@ class ALS(BaseEstimator):
             # s/epoch), or 0 when the cap shrinks below break-even width
             # (hot_cols_auto; C=32 at k=128 measurably loses). The count
             # threshold (DataConfig.hot_min_count auto) keeps it
-            # break-even-safe on unskewed data; sharded fits override to 0
-            # (_fit_sharded).
+            # break-even-safe on unskewed data. Sharded fits KEEP hot
+            # columns under 'allgather' and 'hybrid'; only 'all_to_all'
+            # disables them (_fit_sharded).
             from recommendation_models_tpu.ops.pallas.cholesky import (
                 hot_cols_auto)
             hot = hot_cols_auto(self.rank)
@@ -287,6 +307,10 @@ class ALS(BaseEstimator):
         # actual padded bucket volume (solver.als_sweep.resolve_gather_budget
         # — rank- AND size-gated; the unsplit k>64 mode OOMs at 100M scale)
 
+        if (U0 is None) != (V0 is None):
+            raise ValueError(
+                "warm starts need BOTH U0 and V0 (passing one alone was "
+                "silently ignored and both factors re-initialized)")
         n_shards = self.n_shards
         if n_shards is not None and n_shards > 1:
             return self._fit_sharded(indptr, indices, data, U0, V0, dcfg, scfg)
@@ -294,6 +318,13 @@ class ALS(BaseEstimator):
             raise ValueError(
                 f"topology={self.topology!r} needs a sharded fit: set "
                 f"n_shards > 1 (got {n_shards})")
+        # a prior SHARDED fit's program pins nnz-scale device bucket
+        # pytrees in HBM and stale traffic accounting — clear on the
+        # single-device path (the sharded/hybrid paths reset these
+        # themselves; r4 review)
+        self._sharded_program = None
+        self._take_jit = None
+        self.__dict__.pop("exchange_bytes_per_sweep_", None)
 
         from recommendation_models_tpu.ops.pallas.cholesky import block_batch
         user_layout, item_layout = self._build_layouts(
@@ -551,6 +582,15 @@ class ALS(BaseEstimator):
         unfiltered in that case."""
         from recommendation_models_tpu.utils.checkpoint import load_latest
         step, state = load_latest(checkpoint_dir or self.checkpoint_dir)
+        # drop a PREVIOUS fit's serving state: its training indices and
+        # compiled programs describe different data/factors, and their
+        # presence would silently bypass the documented cannot-exclude
+        # warning (r4 review)
+        self.__dict__.pop("_train_indptr", None)
+        self.__dict__.pop("_train_indices", None)
+        self._sharded_program = None
+        self._take_jit = None
+        self.__dict__.pop("exchange_bytes_per_sweep_", None)
         meta = state.get("metadata") or {}
         U = np.asarray(state["U"])
         V = np.asarray(state["V"])
@@ -570,6 +610,7 @@ class ALS(BaseEstimator):
         state = dict(self.__dict__)
         state.pop("_sharded_program", None)
         state.pop("_take_jit", None)   # jitted closures don't pickle
+        state.pop("_vdev_cache", None)  # device arrays re-upload lazily
         if state.get("_U_dev") is not None:
             # materialize device-resident factors before dropping handles
             state["_U_host"], state["_V_host"] = self.U_, self.V_
@@ -608,26 +649,28 @@ class ALS(BaseEstimator):
         self._check_fitted()
         if side not in ("user", "item"):
             raise ValueError(f"side must be 'user' or 'item', got {side!r}")
+        from recommendation_models_tpu.ops.pallas.cholesky import block_batch
         from recommendation_models_tpu.solver.als_sweep import half_sweep
         indptr, indices, data, a, b = csr_arrays(R_new)
+        # dimension check BEFORE the O(nnz) host layout build (r4 review)
+        if side == "item" and a != self.n_users_:
+            raise ValueError(f"R_new has {a} rows but the fitted user "
+                             f"space is {self.n_users_}")
+        if side == "user" and b != self.n_items_:
+            raise ValueError(f"R_new has {b} columns but the fitted "
+                             f"item space is {self.n_items_}")
         if side == "item":
             rows = np.repeat(np.arange(a), np.diff(indptr))
             layout = layout_from_coo(
                 rows, indices, data, a, b,
                 DataConfig(dense_whales=False, hot_cols=0), transpose=True)
             n_new, opp = b, jnp.asarray(self.U_)
-            if a != self.n_users_:
-                raise ValueError(f"R_new has {a} rows but the fitted user "
-                                 f"space is {self.n_users_}")
         else:
             layout = build_layout(
                 indptr, indices, data, a, b,
                 DataConfig(dense_whales=False, hot_cols=0))
             n_new, opp = a, jnp.asarray(self.V_)
-            if b != self.n_items_:
-                raise ValueError(f"R_new has {b} columns but the fitted "
-                                 f"item space is {self.n_items_}")
-        buckets = device_buckets(layout)
+        buckets = device_buckets(layout, block_batch(self.rank))
         cfg = self._solve_config()
         x = half_sweep(opp, buckets, n_new, cfg)
         return np.asarray(x)
@@ -660,6 +703,15 @@ class ALS(BaseEstimator):
         """
         self._check_fitted()
         user_ids = np.atleast_1d(np.asarray(user_ids, np.int64))
+        if user_ids.size and (user_ids.min() < 0
+                              or user_ids.max() >= self.n_users_):
+            # the sharded path gathers from the PADDED device table with
+            # jnp.take (fill mode): out-of-range ids would silently serve
+            # NaN/padding rows (r4 review); the host path would raise a
+            # bare IndexError — validate uniformly instead
+            raise ValueError(
+                f"user ids must be in [0, {self.n_users_}); got "
+                f"[{user_ids.min()}, {user_ids.max()}]")
         n = min(n, self.n_items_)    # never ask top_k for more than exists
         query_rows, topk = self._topk_backend(method, recall_target)
         if exclude_seen and not hasattr(self, "_train_indptr"):
@@ -717,7 +769,15 @@ class ALS(BaseEstimator):
                                     n_valid=n_items)
             return query_rows, topk
 
-        V_local = jnp.asarray(self.V_)
+        # cache the device copy of the catalog across serving calls: a
+        # fresh jnp.asarray per call re-uploads the full table (ML-25M:
+        # ~40 MB, tens of ms over the remote tunnel) on every recommend()
+        # (r4 review). Keyed on the host array's identity; the V_ setter
+        # invalidates.
+        cache = getattr(self, "_vdev_cache", None)
+        if cache is None or cache[0] is not self.V_:
+            self._vdev_cache = (self.V_, jnp.asarray(self.V_))
+        V_local = self._vdev_cache[1]
 
         def query_rows(ids):
             return jnp.asarray(self.U_[ids])

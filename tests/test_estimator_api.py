@@ -101,7 +101,11 @@ def test_from_configs_roundtrip():
     assert (p["n_shards"], p["exchange"]) == (2, "hybrid")
     assert (p["exchange_head"], p["num_slices"]) == (64, 2)
     assert p["layout_cache"] == "/tmp/lc"
-    assert (p["max_bucket"], p["n_sweeps"], p["seed"]) == (128, 3, 9)
+    # layout knobs ride the full-fidelity data_config (r4: the per-field
+    # mapping dropped knobs); the resolved layout honors them
+    assert p["data_config"].max_bucket == 128
+    assert m._data_config().max_bucket == 128
+    assert (p["n_sweeps"], p["seed"]) == (3, 9)
 
 
 def test_reference_name_aliases():
@@ -203,10 +207,19 @@ def test_dense_min_degree_auto_policy():
     assert ALS(rank=128)._data_config().dense_min_degree == 2048
     assert ALS(rank=128, dense_min_degree=700)._data_config(
         ).dense_min_degree == 700
-    # from_configs: the dataclass default (512) resolves like "auto"
+    # from_configs: the dataclass default (None = auto) resolves per rank;
+    # an EXPLICIT 512 at rank 128 is honored literally (r4 review)
     from recommendation_models_tpu.config import DataConfig, SolveConfig
     m = ALS.from_configs(solve=SolveConfig(rank=128), data=DataConfig())
     assert m._data_config().dense_min_degree == 2048
+    m2 = ALS.from_configs(solve=SolveConfig(rank=128),
+                          data=DataConfig(dense_min_degree=512))
+    assert m2._data_config().dense_min_degree == 512
+    # dense_whales / merge-slack knobs survive the config layer now
+    m3 = ALS.from_configs(data=DataConfig(dense_whales=False,
+                                          bucket_merge_slack=7))
+    assert m3._data_config().dense_whales is False
+    assert m3._data_config().bucket_merge_slack == 7
     m = ALS.from_configs(solve=SolveConfig(rank=128),
                          data=DataConfig(dense_min_degree=777))
     assert m._data_config().dense_min_degree == 777
@@ -243,3 +256,55 @@ def test_fold_in_matches_oracle_half_sweep():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="item space"):
         m.fold_in(sp.csr_matrix(np.ones((3, 7))), side="user")
+
+
+def test_warm_start_requires_both_factors():
+    """r4 review: fit(R, U0=...) alone was silently ignored."""
+    R = tiny_problem(20, 15, seed=30)
+    U0 = np.zeros((20, 4), np.float32)
+    with pytest.raises(ValueError, match="BOTH"):
+        ALS(rank=4, n_sweeps=1).fit(R, U0=U0)
+
+
+def test_recommend_validates_user_ids():
+    """r4 review: the sharded serving path gathered out-of-range ids with
+    fill-mode jnp.take (silent NaN/padding rows); validation is uniform."""
+    R = tiny_problem(20, 15, seed=31)
+    m = ALS(rank=4, n_sweeps=2).fit(R)
+    with pytest.raises(ValueError, match="user ids"):
+        m.recommend([25], n=3)
+    with pytest.raises(ValueError, match="user ids"):
+        m.recommend([-1], n=3)
+    ms = ALS(rank=4, n_sweeps=2, n_shards=4, platform="cpu").fit(R)
+    with pytest.raises(ValueError, match="user ids"):
+        ms.recommend([20], n=3)   # within the PADDED table, beyond n_users_
+
+
+def test_single_device_refit_clears_sharded_state():
+    """r4 review: a prior sharded fit's program pinned nnz-scale device
+    buckets in HBM (and stale traffic accounting) across single-device
+    refits."""
+    R = tiny_problem(24, 18, seed=32)
+    m = ALS(rank=4, n_sweeps=2, n_shards=4, platform="cpu").fit(R)
+    assert m._sharded_program is not None
+    assert hasattr(m, "exchange_bytes_per_sweep_")
+    m.set_params(n_shards=None)
+    m.fit(R)
+    assert m._sharded_program is None
+    assert not hasattr(m, "exchange_bytes_per_sweep_")
+
+
+def test_resume_clears_previous_fit_serving_state(tmp_path):
+    """r4 review: resume() after an unrelated fit kept the OLD training
+    indices — exclude_seen silently used them against the new factors."""
+    import warnings as w
+    R1 = tiny_problem(20, 15, seed=33)
+    d = str(tmp_path / "ck")
+    ALS(rank=4, n_sweeps=2, checkpoint_dir=d, checkpoint_every=1).fit(R1)
+    m = ALS(rank=4, n_sweeps=2).fit(tiny_problem(12, 10, seed=34))
+    m.resume(d)
+    assert not hasattr(m, "_train_indptr")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        m.recommend([0], n=3, exclude_seen=True)
+    assert any("canNOT be excluded" in str(x.message) for x in rec)
