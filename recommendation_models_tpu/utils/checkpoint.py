@@ -5,6 +5,11 @@ sharded factor tables + sweep counter + history save each N sweeps through
 orbax-checkpoint; restore yields host arrays that re-place onto a possibly
 different mesh shape (recovery = restart-from-checkpoint, which is cheap at
 half-sweep granularity for ALS).
+
+The JSON metadata sidecar is written atomically (tmp + rename) by PROCESS 0
+only — orbax's own directory commit is already process-0-gated, and a
+multi-process fit calls save_checkpoint on every process (the save itself
+is a cross-process collective, CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -52,9 +57,23 @@ def save_checkpoint(directory: str, step: int, state: Dict[str, Any],
     path = _ckpt_path(directory, step)
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
-    if metadata is not None:
-        with open(path + ".meta.json", "w") as f:
+    if metadata is not None and jax.process_index() == 0:
+        # atomic + single-writer: a crash mid-json.dump must not leave
+        # truncated JSON that poisons an otherwise committed checkpoint,
+        # and N processes must not race the same sidecar on shared
+        # storage (r4 review)
+        tmp = path + f".meta.json.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(metadata, f)
+        os.replace(tmp, path + ".meta.json")
+    elif metadata is None and jax.process_index() == 0:
+        # a previous crashed run may have left an orphan sidecar at this
+        # step name; a metadata-less save must not let load_checkpoint
+        # attach those stale hyperparameters (r4 review)
+        try:
+            os.remove(path + ".meta.json")
+        except FileNotFoundError:
+            pass
     if wait:
         ckptr.wait_until_finished()
     return path
@@ -66,14 +85,19 @@ def wait_pending() -> None:
         _CKPTR.wait_until_finished()
 
 
-def load_checkpoint(directory: str, step: int) -> Dict[str, Any]:
+def load_checkpoint(directory: str, step: int,
+                    name: str | None = None) -> Dict[str, Any]:
     """Restore as host NumPy arrays regardless of the saving topology, so a
     checkpoint written on an N-chip mesh restores onto any mesh shape (orbax
-    resharding happens at re-placement time)."""
+    resharding happens at re-placement time).
+
+    ``name``: explicit directory name when it does not follow the
+    ``step_%08d`` padding (e.g. a hand-restored ``step_5``)."""
     import json
     import orbax.checkpoint as ocp
 
-    path = _ckpt_path(directory, step)
+    path = (os.path.join(os.path.abspath(directory), name) if name
+            else _ckpt_path(directory, step))
     ckptr = ocp.PyTreeCheckpointer()
     tree = ckptr.metadata(path).item_metadata.tree
     restore_args = jax.tree.map(
@@ -81,6 +105,10 @@ def load_checkpoint(directory: str, step: int) -> Dict[str, Any]:
         is_leaf=lambda x: hasattr(x, "shape"))
     state = ckptr.restore(path, restore_args=restore_args)
     if os.path.exists(path + ".meta.json"):
+        if "metadata" in state:
+            raise ValueError(
+                "checkpoint state already contains a 'metadata' key; the "
+                "JSON sidecar would clobber it — rename the state entry")
         with open(path + ".meta.json") as f:
             state["metadata"] = json.load(f)
     return state
@@ -90,23 +118,32 @@ def load_latest(directory: str) -> Tuple[int, Dict[str, Any]]:
     """Restore the newest loadable checkpoint. Directories an async save
     never committed (crash mid-write) are skipped, falling back to the
     previous step — restart-from-checkpoint recovery must not die on the
-    very artifact the crash left behind."""
+    very artifact the crash left behind.
+
+    Waits for this process's own pending async saves first (a same-process
+    resume right after a failed fit would otherwise race orbax's
+    background commit of the newest step — r4 review)."""
+    wait_pending()
     directory = os.path.abspath(directory)
-    steps = []
+    entries = []
     for name in os.listdir(directory):
         m = re.fullmatch(r"step_(\d+)", name)
-        if m:
-            steps.append(int(m.group(1)))
-    if not steps:
+        if m and os.path.isdir(os.path.join(directory, name)):
+            entries.append((int(m.group(1)), name))
+    if not entries:
         raise FileNotFoundError(f"no checkpoints under {directory}")
-    err = None
-    for step in sorted(steps, reverse=True):
+    first_err = None
+    for step, name in sorted(entries, reverse=True):
         try:
-            return step, load_checkpoint(directory, step)
+            # pass the REAL directory name: non-zero-padded names (hand-
+            # restored checkpoints) must not be re-derived as %08d
+            return step, load_checkpoint(directory, step, name=name)
         except Exception as e:  # uncommitted/corrupt dir: try the previous
-            err = e
-    raise FileNotFoundError(
-        f"no loadable checkpoint under {directory}: {err}")
+            if first_err is None:
+                first_err = (step, e)     # the NEWEST failure is the one
+    raise FileNotFoundError(             # worth reporting (r4 review)
+        f"no loadable checkpoint under {directory}; newest "
+        f"(step {first_err[0]}) failed with: {first_err[1]!r}")
 
 
 __all__ = ["save_checkpoint", "load_checkpoint", "load_latest",

@@ -99,3 +99,34 @@ def test_async_save_and_crash_robust_load_latest(tmp_path):
     step, state = load_latest(str(tmp_path))
     assert step == 2
     np.testing.assert_array_equal(state["U"], np.full((4, 3), 2.0))
+
+
+def test_sidecar_atomic_and_orphan_cleanup(tmp_path):
+    """r4 review: the meta sidecar writes atomically (tmp+rename), a
+    non-padded step dir still loads, the newest failure is reported, and a
+    stale orphan sidecar is not attached to a metadata-less re-save."""
+    import os
+    import numpy as np
+    from recommendation_models_tpu.utils.checkpoint import (
+        load_checkpoint, load_latest, save_checkpoint)
+
+    d = str(tmp_path / "ck")
+    state = dict(U=np.ones((4, 2), np.float32))
+    save_checkpoint(d, step=3, state=state, metadata={"rank": 2})
+    # orphan sidecar from a "crashed" run at step 5
+    with open(os.path.join(d, "step_00000005.meta.json"), "w") as f:
+        f.write('{"rank": 99}')
+    save_checkpoint(d, step=5, state=state, metadata=None)
+    step, st = load_latest(d)
+    assert step == 5 and "metadata" not in st     # stale sidecar removed
+    # non-zero-padded dir name (hand-restored) must load, not be skipped
+    os.rename(os.path.join(d, "step_00000005"), os.path.join(d, "step_7"))
+    step, st = load_latest(d)
+    assert step == 7
+    np.testing.assert_array_equal(st["U"], state["U"])
+    # metadata-key clash is loud, not a silent clobber
+    import pytest
+    save_checkpoint(d, step=9, state=dict(metadata=np.zeros(2)),
+                    metadata={"x": 1})
+    with pytest.raises(ValueError, match="clobber"):
+        load_checkpoint(d, 9)
