@@ -58,21 +58,32 @@ def load_ratings_file(
     ``ratings`` (float32), ``n_users``, ``n_items``, plus the original-id
     vocabularies ``user_vocab`` / ``item_vocab``.
 
-    Robustness (probed): malformed/short/binary lines are skipped, CRLF
-    and missing trailing newlines handled; raw ids are parsed as uint32
-    (MovieLens ids are <10^6 — ids beyond 2^32 would wrap silently).
+    Robustness (probed): with the NATIVE parser, malformed/short/binary
+    lines are skipped and CRLF / missing trailing newlines handled; the
+    NumPy fallback (no C toolchain) is strict and raises on malformed
+    lines. Ids flow through float64/uint64 — exact to 2^53, silently
+    ROUNDED (not wrapped) beyond (MovieLens ids are <10^6).
+
+    The cache key is (path, fmt): an explicit ``fmt`` different from the
+    cached parse re-parses. A corrupt/truncated cache (crash mid-write)
+    falls through to a re-parse instead of poisoning every later load.
     """
-    cache_path = path + ".rmtpu.npz"
+    cache_path = path + (f".{fmt}" if fmt else "") + ".rmtpu.npz"
     # A cache with a missing source is valid (archives are often deleted
     # after ingest); only a NEWER source invalidates it.
     if cache and os.path.exists(cache_path) and (
             not os.path.exists(path)
             or os.path.getmtime(cache_path) >= os.path.getmtime(path)):
-        z = np.load(cache_path)
-        return {k: z[k] for k in z.files} | {
-            "n_users": int(z["user_vocab"].shape[0]),
-            "n_items": int(z["item_vocab"].shape[0]),
-        }
+        try:
+            with np.load(cache_path) as z:
+                return {k: z[k] for k in z.files} | {
+                    "n_users": int(z["user_vocab"].shape[0]),
+                    "n_items": int(z["item_vocab"].shape[0]),
+                }
+        except Exception:
+            # truncated/corrupt cache (e.g. killed mid-write): re-parse
+            # and rewrite rather than raising BadZipFile forever
+            pass
 
     if fmt is None:
         base = os.path.basename(path)
@@ -100,7 +111,13 @@ def load_ratings_file(
     }
     if cache:
         try:
-            np.savez_compressed(cache_path, **out)
+            # atomic: a crash mid-savez must not leave a truncated cache
+            # newer than the source (same tmp+replace pattern as
+            # layout_cache)
+            tmp = cache_path + f".tmp.{os.getpid()}"
+            np.savez_compressed(tmp, **out)
+            os.replace(tmp if os.path.exists(tmp) else tmp + ".npz",
+                       cache_path)
         except OSError:
             pass
     out["n_users"] = int(user_vocab.shape[0])

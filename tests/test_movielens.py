@@ -116,3 +116,26 @@ def test_native_parser_no_trailing_newline(tmp_path):
         import pytest
         pytest.skip("native parser unavailable")
     np.testing.assert_allclose(arr, [[1, 2, 3.5], [7, 8, 4.0]])
+
+
+def test_cache_corruption_recovers_and_fmt_keys(tmp_path):
+    """r4 review: a truncated cache must re-parse (not BadZipFile forever);
+    an explicit fmt keys its own cache entry instead of silently serving a
+    different format's parse."""
+    p = str(tmp_path / "u.data")
+    with open(p, "w") as f:
+        f.write("1\t10\t4.0\t0\n2\t20\t3.0\t0\n")
+    d1 = movielens.load_ratings_file(p)
+    assert d1["n_users"] == 2
+    # corrupt the cache in place
+    with open(p + ".rmtpu.npz", "wb") as f:
+        f.write(b"NOT A ZIP")
+    import os, time
+    os.utime(p + ".rmtpu.npz", (time.time() + 10, time.time() + 10))
+    d2 = movielens.load_ratings_file(p)               # falls through to re-parse
+    np.testing.assert_array_equal(d2["users"], d1["users"])
+    # explicit fmt gets its own cache entry (path-only key served the
+    # wrong format's parse before)
+    d3 = movielens.load_ratings_file(p, fmt="tsv")
+    assert os.path.exists(p + ".tsv.rmtpu.npz")
+    np.testing.assert_array_equal(d3["ratings"], d1["ratings"])
