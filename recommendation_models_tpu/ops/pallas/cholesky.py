@@ -60,10 +60,8 @@ def block_batch(k: int) -> int:
     kp = -(-k // 8) * 8
     if kp <= 32:
         return 512
-    if kp <= 64:
-        return 256
     if kp <= 160:
-        return 256
+        return 256    # incl. k <= 64 (bt=512 there regresses whole-epoch)
     return max(8, (40 * 1024 * 1024 // (3 * kp * kp * 4)) // 8 * 8)
 
 
@@ -71,8 +69,9 @@ def pallas_supported(k: int, b: int, two_operand: bool = False) -> bool:
     """Whether the compiled kernel can solve a (k, k, b) batch on TPU.
 
     When the VMEM-bounded batch block is narrower than 128 lanes (k > 160
-    single-operand; k > 64 for the two-operand ``Gt2`` path, whose block is
-    halved — see _cholesky_solve_t), Mosaic only accepts the block when it
+    for BOTH the single-operand path and the two-operand ``Gt2`` path —
+    the halved two-operand block is still exactly 128 lanes up to k=160;
+    see _cholesky_solve_t), Mosaic only accepts the block when it
     EQUALS the (padded) batch — i.e. a single-block grid. Multi-block
     narrow-lane solves route to the XLA anchor instead (a rare robustness
     case, not a tuned path; interpret mode has no such constraint but
@@ -877,6 +876,13 @@ def _cholesky_solve_t(Gt: jnp.ndarray, rhst: jnp.ndarray, regv: jnp.ndarray,
         # carry instead of this operand (solver/als_sweep.py).
         bt = max(bt // 2 // 8 * 8, 8)
     bt = min(bt, b)
+    if b % bt:
+        # a floored grid would return systems past the last full block as
+        # UNINITIALIZED output memory (r4 review) — make the documented
+        # contract loud
+        raise ValueError(
+            f"batch {b} must be a multiple of the block {bt} "
+            "(pad with identity systems; see cholesky_solve)")
     grid = (b // bt,)
     # Inside shard_map the output must declare how it varies over mesh axes
     # (it varies exactly like the inputs: each shard solves its own systems).
@@ -976,6 +982,10 @@ def _cholesky_solve_t_hot(Gt: jnp.ndarray, rhst: jnp.ndarray,
             f"hot block C={c} exceeds the fused kernel's VMEM budget at "
             f"k={k}; cap with hot_cols_cap(k)={hot_cols_cap(k)}")
     bt = min(_block_batch(k), b)
+    if b % bt:
+        raise ValueError(
+            f"batch {b} must be a multiple of the block {bt} "
+            "(pad with identity systems; see solve_spd_t_hot)")
     grid = (b // bt,)
     vma = frozenset(getattr(jax.typeof(Gt), "vma", ()) or ())
     vma = vma | frozenset(getattr(jax.typeof(rhst), "vma", ()) or ())
@@ -1045,6 +1055,8 @@ def cholesky_solve_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
     positive reg_vec).
     """
     b = G_flat.shape[0]
+    if b == 0:
+        return jnp.zeros((0, k), jnp.float32)
     assert k % 8 == 0, "flat path requires sublane-aligned k"
     if not pallas_supported(k, b):
         raise ValueError(
@@ -1058,8 +1070,7 @@ def cholesky_solve_flat(G_flat: jnp.ndarray, rhs: jnp.ndarray, k: int,
     if reg_vec is None:
         regv = jnp.zeros((1, b), jnp.float32)
     else:
-        regv = jnp.broadcast_to(
-            jnp.asarray(reg_vec, jnp.float32).reshape(1, b), (1, b))
+        regv = jnp.asarray(reg_vec, jnp.float32).reshape(1, b)
     if bp != b:
         eye = jnp.eye(k, dtype=Gt.dtype)
         Gt = jnp.pad(Gt, ((0, 0), (0, 0), (0, bp - b)))
@@ -1085,6 +1096,8 @@ def cholesky_solve(G: jnp.ndarray, rhs: jnp.ndarray,
     panel-scratch traffic. Kept as an option/reference.
     """
     b, k, _ = G.shape
+    if b == 0:
+        return jnp.zeros((0, k), jnp.float32)
     if not pallas_supported(k, b):
         raise ValueError(
             f"k={k}, b={b}: multi-block grids need <=160-wide systems "

@@ -228,10 +228,16 @@ def solve_spd_t_hot(Gt: jnp.ndarray, rhst: jnp.ndarray, hvT: jnp.ndarray,
     if b == 0:
         return jnp.zeros((k, 0), jnp.float32)
     solver = resolve_solver(solver)
-    from recommendation_models_tpu.ops.pallas.cholesky import pallas_supported
+    from recommendation_models_tpu.ops.pallas.cholesky import (
+        block_batch as _bb, pallas_supported)
     # gate via pallas_supported (the literal k<=160 drifted from
-    # block_batch's thresholds twice in round 3 — r4 review)
-    if solver == "pallas" and k % 8 == 0 and pallas_supported(k, b):
+    # block_batch's thresholds twice in round 3 — r4 review) AND require a
+    # 128-multiple batch block: the hot kernel's manual DMA slices the
+    # ANY-space G on block boundaries, which Mosaic requires 128-aligned —
+    # at k>160 the narrowed block (e.g. 88) cannot tile the 128-padded
+    # batch (reachable-config TPU compile failure; r4 review)
+    if (solver == "pallas" and k % 8 == 0 and pallas_supported(k, b)
+            and _bb(k) % 128 == 0):
         from recommendation_models_tpu.ops.pallas.cholesky import (
             _cholesky_solve_t_hot, _use_interpret, block_batch, hot_cols_cap)
         if hvT.shape[0] <= hot_cols_cap(k):

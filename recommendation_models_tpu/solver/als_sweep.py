@@ -244,7 +244,12 @@ def solve_all_buckets(V, buckets, n_rows: int, cfg: SolveConfig, g0,
             tr = jnp.maximum(G[:, diag_ix].mean(-1), 0.0)
             x_safe = solve_spd_flat(G, rhs, k, cfg.solver,
                                     reg_vec=reg_vec + 0.02 * tr)
-            bad = jnp.isnan(x).any(-1, keepdims=True)
+            # catch finite garbage too: the kernel's pivot clamp
+            # (max(d, 1e-30)) can turn a mildly indefinite system into
+            # huge-but-finite entries instead of NaN (r4 review) —
+            # legitimate factors are O(1..1e3), so 1e12 is unambiguous
+            bad = (jnp.isnan(x) | (jnp.abs(x) > 1e12)).any(-1,
+                                                           keepdims=True)
             x = jnp.where(bad, x_safe, x)
         U = U.at[dense["dense_ids"]].set(x, mode="drop")
         if with_sse:

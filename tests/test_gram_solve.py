@@ -366,3 +366,22 @@ def test_solve_spd_shape_normalization_and_empty():
                            solver).shape == (k, 0)
         assert solve_spd_flat(jnp.zeros((0, k * k)), jnp.zeros((0, k)), k,
                               solver).shape == (0, k)
+
+
+def test_kernel_entries_guard_bad_batches():
+    """r4 review: non-multiple batches raised as uninitialized-memory
+    garbage; empty batches ZeroDivisionError'd."""
+    import jax.numpy as jnp
+    import pytest
+    from recommendation_models_tpu.ops.pallas.cholesky import (
+        _cholesky_solve_t, cholesky_solve, cholesky_solve_flat)
+
+    k = 8
+    assert cholesky_solve(jnp.zeros((0, k, k)), jnp.zeros((0, k))
+                          ).shape == (0, k)
+    assert cholesky_solve_flat(jnp.zeros((0, k * k)), jnp.zeros((0, k)), k
+                               ).shape == (0, k)
+    with pytest.raises(ValueError, match="multiple of the block"):
+        # k=64 => block 256; b=300 > block and not a multiple
+        _cholesky_solve_t(jnp.zeros((64, 64, 300)), jnp.zeros((64, 300)),
+                          jnp.zeros((1, 300)), interpret=True)
