@@ -19,9 +19,18 @@ the viable one:
 
 2. Per-row async DMA: issue one make_async_copy per gathered row
    (HBM table row -> VMEM scratch slot), S slots in flight. The bound is
-   DMA ISSUE RATE, not bandwidth (a (1, 64) f32 row is 256 B). This
+   DMA ISSUE RATE, not bandwidth (a (1, 128) f32 row is 512 B). This
    script measures exactly that: rows/s for a deep-pipelined per-row copy
    loop, no compute, which upper-bounds any kernel built on it.
+
+   Mosaic constraint (first measured run, 2026-08-21): a lane-dim slice
+   must be tiling-aligned — ``memref_slice`` of (1, 64) from a
+   (1,128)-tiled table is rejected ("Slice shape along dimension 1 must
+   be aligned to tiling (128), but is 64"), so a k=64 row cannot even be
+   DMA'd individually without padding the table to 128 lanes. The probe
+   therefore copies full 128-lane rows (2x the k=64 payload); since the
+   regime is issue-rate-bound, not bandwidth-bound, this only HELPS the
+   manual-DMA side of the comparison if anything.
 
 Run on the real chip:  python scripts/probe_dma_gather.py
 """
@@ -91,7 +100,7 @@ def make_probe(n_rows_table: int, k: int, n_gather: int, slots: int = 8,
 
 
 def main():
-    n_table, k = 62_423, 64
+    n_table, k = 62_423, 128   # 128 lanes: Mosaic rejects 64-wide slices
     n_gather = 200_000
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.standard_normal((n_table, k)), jnp.float32)
