@@ -107,7 +107,11 @@ def main():
     # f32 association noise between the stepwise and scanned schedules
     # (measured 2.05e-4 max rel at ML-1M rank-64 on the v5e); parity at
     # bitwise level is covered by tests/test_sharded_scan.py on CPU.
-    np.testing.assert_allclose(hist_a, hist_b, rtol=5e-4)
+    # FASTPATHS adds dense-whale/hot-column partial-SSE terms whose
+    # summation order differs between the two programs on bf16-input
+    # grams (measured 7.4e-4 at ML-25M) — hence the wider band there.
+    rtol = 2e-3 if os.environ.get("FASTPATHS", "0") == "1" else 5e-4
+    np.testing.assert_allclose(hist_a, hist_b, rtol=rtol)
     print(f"{scale} rank={rank} sweeps={n_sweeps} shards={n_shards} "
           f"device={jax.devices()[0].device_kind}")
     print(f"stepwise: {stepwise_s:.4f} s total, "
