@@ -4,6 +4,15 @@ ML-25M-scale, vs the measured CPU oracle baseline.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
+On unrecoverable failure the line is still emitted with the FAILURE SCHEMA
+{"metric": "bench_failed", "value": -1.0, "unit": "error",
+ "vs_baseline": -1.0, "error": "..."} and rc stays 0 — the negative value
+is the unmistakable failure signal (no real metric is ever negative).
+Train-mode records also carry roofline fields in "extra"
+(gathered_rows_per_epoch / gather_roof_rows_per_s / roof_fraction): the
+epoch is gather-bound (docs/PERF.md), so roof_fraction is the structural
+utilization number to watch for regressions.
+
 The real MovieLens archives are not downloadable in this environment
 (SURVEY.md §0), so the bench runs on a synthetic ratings set with ML-25M's
 shape (162541 users x 62423 items, 25M interactions, power-law item
@@ -100,12 +109,18 @@ def run_with_retry(fn, attempts=None, backoffs=(60.0, 120.0),
 
 def emit_error_record(exc: BaseException) -> None:
     """Last-resort parseable record: the driver's capture must never be
-    rc-only (BENCH_r03 was lost as ``parsed: null``)."""
+    rc-only (BENCH_r03 was lost as ``parsed: null``).
+
+    FAILURE SCHEMA (r5, VERDICT r4 weak #7): ``value`` is -1.0 and ``unit``
+    is "error" — no real metric in this bench is ever negative, so a
+    rc-gating driver that only looks at the parsed value cannot mistake a
+    failed run for a tiny-but-green one (``value: 0`` was plausible-looking).
+    The process still exits 0 so the record is captured, not discarded."""
     print(json.dumps({
         "metric": "bench_failed",
-        "value": 0.0,
+        "value": -1.0,
         "unit": "error",
-        "vs_baseline": 0.0,
+        "vs_baseline": -1.0,
         "error": f"{type(exc).__name__}: {str(exc)[:500]}",
     }))
 
@@ -480,6 +495,20 @@ def main() -> None:
     print(f"# oracle: {oracle_rows_per_sec:.1f} rows/s over {sample_rows} rows",
           file=sys.stderr)
 
+    # ----- roofline observability (VERDICT r4 weak #6) ----------------------
+    # The epoch is gather/index-bound (docs/PERF.md: epoch ≈ sum of isolated
+    # parts; the DMA ledger is closed). Report the structural roof alongside
+    # rows/s so a regression shows against the hardware bound, not only
+    # against the load-sensitive CPU oracle. gathered_rows = padded slots of
+    # both orientations (each slot gathers one opposite-factor row in the
+    # gram/rhs build; dense-whale and hot-column obs intentionally leave the
+    # gathers, which is why this can be << 2*nnz).
+    gathered_rows = user_layout.padded_slots + item_layout.padded_slots
+    gather_roof = 175e6   # measured isolated XLA gather rate, rows/s
+    # (scripts/ablate_gather.py; index-processing-bound, table-size/dtype
+    # independent at this scale)
+    roof_fraction = (gathered_rows / elapsed * n_sweeps) / gather_roof
+
     obj = "implicit" if alpha else "explicit"
     print(json.dumps({
         "metric": f"als_{obj}_rows_solved_per_sec_per_chip_rank{rank}_{scale}_synth"
@@ -495,6 +524,9 @@ def main() -> None:
             "solver": solver,
             "compute_dtype": compute_dtype,
             "oracle_rows_per_sec": round(oracle_rows_per_sec, 1),
+            "gathered_rows_per_epoch": int(gathered_rows),
+            "gather_roof_rows_per_s": gather_roof,
+            "roof_fraction": round(roof_fraction, 4),
             "device": jax.devices()[0].device_kind,
         },
     }))

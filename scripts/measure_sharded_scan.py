@@ -60,11 +60,25 @@ def main():
     # allgather PRODUCTION layout config (both fast paths on, as
     # ALS._fit_sharded builds it) — the number to quote next to the
     # single-device epoch.
-    if os.environ.get("FASTPATHS", "0") == "1":
+    fastpaths = os.environ.get("FASTPATHS", "0") == "1"
+    if fastpaths:
+        from recommendation_models_tpu.config import dense_min_degree_for_rank
         from recommendation_models_tpu.ops.pallas.cholesky import (
             hot_cols_auto)
+        hot = hot_cols_auto(rank)
+        if hot == 0:
+            # at rank>64 the production auto policy itself turns the hot-
+            # column path off (BASELINE.md r3) — the label 'both fast paths
+            # on' only holds at k<=64; say so rather than mislabel
+            print(f"# FASTPATHS note: hot_cols_auto({rank}) == 0 — the "
+                  "production config at this rank runs WITHOUT the "
+                  "hot-column path", file=sys.stderr)
+        # dense_min_degree must be the rank-aware production threshold:
+        # the plain builder default (512) is NOT what ALS._fit_sharded uses
+        # at rank 128 (2048 — break-even scales k^2; ADVICE r4)
         dcfg = DataConfig(bucket_growth=bucket_growth_for_rank(rank),
-                          hot_cols=hot_cols_auto(rank))
+                          hot_cols=hot,
+                          dense_min_degree=dense_min_degree_for_rank(rank))
     else:
         dcfg = DataConfig(dense_whales=False, hot_cols=0,
                           bucket_growth=bucket_growth_for_rank(rank))
@@ -110,7 +124,7 @@ def main():
     # FASTPATHS adds dense-whale/hot-column partial-SSE terms whose
     # summation order differs between the two programs on bf16-input
     # grams (measured 7.4e-4 at ML-25M) — hence the wider band there.
-    rtol = 2e-3 if os.environ.get("FASTPATHS", "0") == "1" else 5e-4
+    rtol = 2e-3 if fastpaths else 5e-4
     np.testing.assert_allclose(hist_a, hist_b, rtol=rtol)
     print(f"{scale} rank={rank} sweeps={n_sweeps} shards={n_shards} "
           f"device={jax.devices()[0].device_kind}")

@@ -101,6 +101,10 @@ def test_cli_emits_parseable_error_record(monkeypatch, capsys):
     assert rec["metric"] == "bench_failed"
     assert "UNAVAILABLE" in rec["error"]
     assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
+    # failure schema (r5): value is -1 and unit is "error" — no real metric
+    # is ever negative, so a parsed failure can't pass for a tiny green run
+    assert rec["value"] == -1.0 and rec["unit"] == "error"
+    assert rec["vs_baseline"] == -1.0
 
 
 @pytest.mark.slow
@@ -159,3 +163,4 @@ def test_watchdog_emits_record_on_hang(monkeypatch):
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["metric"] == "bench_failed"
     assert "BENCH_DEADLINE_S" in rec["error"]
+    assert rec["value"] == -1.0 and rec["unit"] == "error"
