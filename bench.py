@@ -174,6 +174,13 @@ def serving_bench(scale, rank, n_users, n_items) -> None:
     _, topk = model.recommend(eval_users, n=k, exclude_seen=True)
     recall = recall_at_k(topk, rel_eval)
     ndcg = ndcg_at_k(topk, rel_eval)
+    # exact-selection reference on the SAME factors: the approx-vs-exact
+    # recall gap must stay driver-visible (r4 shipped an 11%-relative
+    # silent approx loss — see tests/test_serving_quality.py and
+    # ops.topk.serving_permutation)
+    _, topk_ex = model.recommend(eval_users, n=k, exclude_seen=True,
+                                 method="exact")
+    recall_exact = recall_at_k(topk_ex, rel_eval)
 
     # throughput: scored users/sec on device (exclusion off the hot path).
     # Big query batches matter: the fused einsum+PartialReduce amortizes per
@@ -217,6 +224,7 @@ def serving_bench(scale, rank, n_users, n_items) -> None:
         "extra": {
             "recall_at_10": round(float(recall), 4),
             "ndcg_at_10": round(float(ndcg), 4),
+            "recall_at_10_exact": round(float(recall_exact), 4),
             "train_obs": int(tr.sum()),
             "eval_users": int(eval_users.shape[0]),
             "oracle_users_per_sec": round(oracle_qps, 1),

