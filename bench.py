@@ -167,11 +167,16 @@ def serving_bench(scale, rank, n_users, n_items) -> None:
                           shape=(n_users, n_items))
     model = ALS(rank=rank, alpha=1.0, reg=0.1, n_sweeps=8, seed=0).fit(train)
 
+    # quality AND throughput are measured at the SAME recall_target (the
+    # record's recall_at_10 describes exactly the path the QPS number
+    # times)
+    recall_target = float(os.environ.get("BENCH_RECALL_TARGET", "0.95"))
     k = 10
     rel_indptr, rel_items = grouped_by_user(users[te], items[te], n_users)
     eval_users = np.flatnonzero(np.diff(rel_indptr) > 0)[:20_000]
     rel_eval = take_groups(rel_indptr, rel_items, eval_users)
-    _, topk = model.recommend(eval_users, n=k, exclude_seen=True)
+    _, topk = model.recommend(eval_users, n=k, exclude_seen=True,
+                              recall_target=recall_target)
     recall = recall_at_k(topk, rel_eval)
     ndcg = ndcg_at_k(topk, rel_eval)
     # exact-selection reference on the SAME factors: the approx-vs-exact
@@ -186,8 +191,12 @@ def serving_bench(scale, rank, n_users, n_items) -> None:
     # Big query batches matter: the fused einsum+PartialReduce amortizes per
     # -dispatch and per-scan-step overheads (measured 3.1 -> 5.1 M users/s
     # going 4096 -> 65536 at ML-25M catalog size). BENCH_RECALL_TARGET
-    # trades approx_max_k retrieval recall for speed (0.95 => ~8 M users/s).
-    recall_target = float(os.environ.get("BENCH_RECALL_TARGET", "0.99"))
+    # default 0.95 (r5): with the permuted serving catalogs the end-to-end
+    # quality at 0.95 equals the exact selector's (recall@10 0.13378 vs
+    # 0.13385, within 7e-5 — docs/measurements/r5/) while retrieval QPS
+    # nearly doubles (5.2M -> 9.9M users/s); 0.90 starts losing quality
+    # with no further speed. recall_at_10 vs recall_at_10_exact in this
+    # record proves the parity every run.
     U = jnp.asarray(model.U_)
     V = jnp.asarray(model.V_)
     qbatch = min(65536, n_users)
