@@ -301,16 +301,19 @@ def imc_bench(scale, rank, n_users, n_items) -> None:
     Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
     _, _, hist, _ = fit_all(W0, H0, Xd, Yd, ub, ib)
     _ = np.asarray(hist)                    # compile + fence placements
-    # time N fits under ONE final fence: a single ~0.08 s fit is
-    # readback-latency-quantized over the remote tunnel (VERDICT r4 weak
-    # #2) — the per-fit number must amortize the ~30 ms readback
+    # time 5 fits' worth of sweeps as ONE device program (scan) ended by
+    # one dependent readback: a single ~0.08 s fit is readback-latency-
+    # quantized over the remote tunnel (VERDICT r4 weak #2), and a Python
+    # loop of separate fit calls measures per-dispatch tunnel latency
+    # (~0.27 s/call — measured r5), not the device program. Same
+    # methodology as the ALS bench: the whole timed region is one scan.
     reps = 5
-    tots = []
+    fit_long = _imc_program(0.1, 30, n_sweeps * reps, n_users, n_items)
+    _, _, hist, _ = fit_long(W0, H0, Xd, Yd, ub, ib)
+    _ = np.asarray(hist)                    # compile the long program
     t0 = time.perf_counter()
-    for _ in range(reps):
-        _, _, hist, _ = fit_all(W0, H0, Xd, Yd, ub, ib)
-        tots.append(jnp.sum(hist))
-    _ = np.asarray(jnp.stack(tots).sum())   # dependent readback = the fence
+    _, _, hist, _ = fit_long(W0, H0, Xd, Yd, ub, ib)
+    _ = np.asarray(hist)                    # dependent readback = the fence
     fit_s = (time.perf_counter() - t0) / reps
 
     # oracle on a subsample, same sweep count (CPU reference baseline)
