@@ -174,10 +174,19 @@ def gather_budget_for_rank(rank: int, nnz: Optional[int] = None) -> int:
     ``nnz`` gates the unsplit mode by problem size: at 100M-interaction
     scale the coexisting multi-GB gathered temps of unsplit buckets
     exceeded a v5e's HBM (measured: 17.4 G needed vs 15.75 G at synth100m
-    rank-128), so k>64 problems beyond ~40M observations keep the bounded
-    256 MB scan. ``solver.als_sweep.resolve_gather_budget`` — the single
-    resolution point every consumer goes through — passes its actual
-    padded bucket volume; ``None`` assumes the (measured) ML-25M class.
+    rank-128), so k>64 problems beyond ~40M observations keep a bounded
+    scan — at **1536 MB** blocks since round 5: the full on-chip ladder at
+    synth100m rank-128 (docs/measurements/r5/tune100m/, whole-epoch) is
+    3.06 s @ 256, 3.47 @ 512, 2.92 @ 1024, **2.06 @ 1536**, 2.08 @ 1792,
+    2.13 @ 2048, and 3072/4096 fail to compile (HBM) — a −33% epoch over
+    the old 256 MB point, with 512 a local MAXIMUM (mid-size blocks pay
+    scan overhead without yet amortizing it; don't "split the
+    difference"). Hot-column slabs (32/64/128 wide) and dense-whale
+    thresholds 1024/4096 were re-swept at this scale and never beat plain
+    1536 MB blocks (best hot combo 2.076). ``solver.als_sweep.
+    resolve_gather_budget`` — the single resolution point every consumer
+    goes through — passes its actual padded bucket volume; ``None``
+    assumes the (measured) ML-25M class.
 
     Round 3 re-swept the k<=64 point at the 1.12-growth layout: 2 MB wins
     (ML-25M 0.2008 vs 0.2041 @ 8 / 0.213 @ 16; 1 MB 0.2011 is past the
@@ -185,7 +194,7 @@ def gather_budget_for_rank(rank: int, nnz: Optional[int] = None) -> int:
     if rank <= 64:
         return 2
     if nnz is not None and nnz > 40_000_000:
-        return 256
+        return 1536
     return 4096
 
 

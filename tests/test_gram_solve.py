@@ -242,6 +242,19 @@ def test_row_blocked_accumulation_matches_unblocked(rng):
         rtol=1e-5, atol=1e-5)
 
 
+def test_gather_budget_auto_policy_pins():
+    """The measured auto gather-budget policy (config.py docstring ledger;
+    r5 re-tuned the k>64 large-nnz point 256 -> 1536 MB, a -33% epoch at
+    synth100m rank-128). Any change here must come with new whole-epoch
+    measurements."""
+    from recommendation_models_tpu.config import gather_budget_for_rank
+    assert gather_budget_for_rank(64) == 2
+    assert gather_budget_for_rank(64, 100_000_000) == 2
+    assert gather_budget_for_rank(128) == 4096          # ML-25M class
+    assert gather_budget_for_rank(128, 19_027_200) == 4096
+    assert gather_budget_for_rank(128, 77_037_080) == 1536   # 100M class
+
+
 def test_solve_spd_t_large_rank_falls_back(rng):
     """k > 160 with a multi-block batch is outside the Mosaic lane limit:
     solve_spd_t must route to the XLA anchor (same answers)."""
