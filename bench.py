@@ -464,9 +464,12 @@ def main() -> None:
     gmb = os.environ.get("BENCH_GATHER_MB")
     # 0 = auto: the solver resolves against the actual padded bucket volume
     # (rank- and size-gated, solver.als_sweep.resolve_gather_budget)
+    # BENCH_SSE_MODE=auto|riding|separate overrides the per-sweep SSE
+    # strategy (config.sse_separate_for — the r5 A/B lever)
     cfg = SolveConfig(rank=rank, reg=0.1, solver=solver,
                       alpha=float(alpha) if alpha else None,
                       compute_dtype=compute_dtype,
+                      sse_mode=os.environ.get("BENCH_SSE_MODE", "auto"),
                       **({"gather_budget_mb": int(gmb)} if gmb else {}))
     ub = device_buckets(user_layout, block_batch(rank))
     ib = device_buckets(item_layout, block_batch(rank))
@@ -475,7 +478,8 @@ def main() -> None:
     # that depends on every sweep. On remote-attached TPUs (axon tunnel),
     # per-dispatch timing + block_until_ready is NOT reliable — a dependent
     # device->host transfer is the only honest fence.
-    fit_fn = make_scanned_fit(ub, ib, n_users, n_items, cfg, n_sweeps)
+    fit_fn = make_scanned_fit(ub, ib, n_users, n_items, cfg, n_sweeps,
+                              nnz=nnz)
 
     rng = np.random.default_rng(0)
     U0 = 0.01 * rng.standard_normal((n_users, rank)).astype(np.float32)

@@ -47,6 +47,18 @@ class SolveConfig:
     # stay float32). 'auto' = bfloat16 on TPU (half the gather HBM bytes,
     # 2x MXU; quality within run-to-run variance), float32 elsewhere.
     compute_dtype: str = "auto"
+    # How the scanned fits compute the per-sweep training SSE (explicit
+    # objective; the implicit objective always takes the direct pass):
+    # 'riding' = the identity sse = sum w r^2 - 2 x.rhs + x^T G x evaluated
+    #   inside the item half's solves; 'separate' = a dedicated masked_sse
+    #   gather pass after the sweep; 'auto' = measured per config class
+    #   (sse_separate_for below). Whole-epoch A/B on the v5e (r5,
+    #   docs/measurements/r5/): riding looks free but is NOT at the
+    #   ML-25M-rank-64 class (0.2035 vs 0.1858 separate), while every
+    #   other measured class prefers riding (ml1m r64 8.7 vs 9.9 ms;
+    #   synth100m r64 0.910 vs 1.222; ml25m r128 0.485 vs 0.610;
+    #   synth100m r128 2.06 vs 2.85).
+    sse_mode: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,6 +210,33 @@ def gather_budget_for_rank(rank: int, nnz: Optional[int] = None) -> int:
     return 4096
 
 
+def sse_separate_for(cfg, nnz: Optional[int]) -> bool:
+    """Resolve SolveConfig.sse_mode to 'use the separate masked_sse pass?'.
+
+    Empirical per-config-class policy (see SolveConfig.sse_mode for the
+    measured table): the separate pass wins ONLY at the ML-25M-rank-64
+    class — k<=64 with 5M < nnz <= 40M. Everywhere else the riding
+    identity is cheaper (at k>64 the identity's extra terms are small
+    while a separate unsplit/8MB-floored pass re-gathers every slot; at
+    100M-obs scale the separate pass's 8 MB-floor scan overhead over the
+    much larger tables dominates; at ML-1M scale the fixed cost of the
+    extra pass loses). The implicit objective has no riding identity and
+    always takes the direct pass.
+    """
+    mode = getattr(cfg, "sse_mode", "auto")
+    if mode not in ("auto", "riding", "separate"):
+        raise ValueError(f"sse_mode must be auto|riding|separate, "
+                         f"got {mode!r}")
+    if cfg.alpha is not None:
+        # the riding identity is an explicit-least-squares identity; the
+        # implicit objective always takes the direct pass (mode ignored)
+        return True
+    if mode != "auto":
+        return mode == "separate"
+    return (cfg.rank <= 64 and nnz is not None
+            and 5_000_000 < nnz <= 40_000_000)
+
+
 def bucket_growth_for_rank(rank: int) -> float:
     """Rank-aware geometric bucket-growth ratio (DataConfig auto policy).
 
@@ -241,4 +280,4 @@ class FitConfig:
 
 __all__ = ["SolveConfig", "MeshConfig", "DataConfig", "FitConfig",
            "dense_min_degree_for_rank", "gather_budget_for_rank",
-           "bucket_growth_for_rank"]
+           "bucket_growth_for_rank", "sse_separate_for"]

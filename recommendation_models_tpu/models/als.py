@@ -50,6 +50,7 @@ class ALS(BaseEstimator):
         chunk: int = 512,
         gather_budget_mb: int = 0,
         compute_dtype: str = "auto",
+        sse_mode: str = "auto",
         n_shards: Optional[int] = None,
         num_slices: Optional[int] = None,
         topology: str = "1d",
@@ -81,6 +82,7 @@ class ALS(BaseEstimator):
         self.chunk = chunk
         self.gather_budget_mb = gather_budget_mb
         self.compute_dtype = compute_dtype
+        self.sse_mode = sse_mode
         self.n_shards = n_shards
         self.num_slices = num_slices
         self.topology = topology
@@ -177,7 +179,7 @@ class ALS(BaseEstimator):
             rank=solve.rank, reg=solve.reg, alpha=solve.alpha,
             reg_by_degree=solve.reg_by_degree, solver=solve.solver,
             chunk=solve.chunk, gather_budget_mb=solve.gather_budget_mb,
-            compute_dtype=solve.compute_dtype,
+            compute_dtype=solve.compute_dtype, sse_mode=solve.sse_mode,
             n_shards=mesh.n_shards, num_slices=mesh.num_slices,
             topology=mesh.topology,
             exchange=mesh.exchange, exchange_head=mesh.exchange_head,
@@ -194,7 +196,7 @@ class ALS(BaseEstimator):
             rank=self.rank, reg=self._reg, reg_by_degree=self.reg_by_degree,
             alpha=self.alpha, chunk=self.chunk, solver=self.solver,
             gather_budget_mb=self.gather_budget_mb,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, sse_mode=self.sse_mode,
         )
 
     def _data_config(self) -> DataConfig:

@@ -100,7 +100,8 @@ def _local_buckets(buckets):
 
 
 def _half_sweep_local(V_loc, buckets, plan, n_local_rows, cfg: SolveConfig,
-                      axis, with_sse: bool = False):
+                      axis, with_sse: bool = False,
+                      sse_separate: bool = True):
     from recommendation_models_tpu.solver.als_sweep import (
         masked_sse, solve_all_buckets)
 
@@ -113,12 +114,14 @@ def _half_sweep_local(V_loc, buckets, plan, n_local_rows, cfg: SolveConfig,
                        preferred_element_type=jnp.float32), axis)
     # one dense scatter-add + batched-Cholesky call per shard per half-sweep
     lb = _local_buckets(buckets)
-    explicit = cfg.alpha is None
     U_new, sse = solve_all_buckets(V_src, lb, n_local_rows, cfg, g0,
-                                   with_sse=with_sse and explicit)
-    if with_sse and not explicit:
-        # implicit objective: the identity SSE doesn't apply; the direct
-        # residual against the SAME exchanged source costs zero extra comm
+                                   with_sse=with_sse and not sse_separate)
+    if with_sse and sse_separate:
+        # direct residual against the SAME exchanged source — zero extra
+        # comm; riding-vs-separate is the measured per-config-class
+        # policy config.sse_separate_for (r5: riding loses 18 ms/epoch at
+        # the ML-25M-rank-64 class, wins at the other measured classes;
+        # docs/PERF.md 'Round 5')
         sse = masked_sse(U_new, V_src, lb, chunk=cfg.chunk,
                          gather_budget_mb=cfg.gather_budget_mb)
     if with_sse:
@@ -263,15 +266,20 @@ class ShardedALSProgram:
             V_new = _half_sweep_local(U_new, ib, iplan, ipr, cfg, axis)
             return U_new, V_new
 
+        # riding identity vs separate direct pass: the measured per-config
+        # -class policy (config.sse_separate_for; r5). Either way the item
+        # half's SSE is free of extra exchanges — the separate pass reuses
+        # the item half's exchanged U_src (zero surplus comm; VERDICT r3
+        # weak #3's per-sweep train_sse re-ran the user half exchange on
+        # every sweep)
+        from recommendation_models_tpu.config import sse_separate_for
+        sse_sep = sse_separate_for(cfg, user_layout.nnz)
+
         def sweep_sse_body(U_loc, V_loc, ub, ib, uplan, iplan):
-            # the item half's SSE is free of extra exchanges: the explicit
-            # identity falls out of the solves; the implicit residual reuses
-            # the item half's exchanged U_src (zero surplus comm either way
-            # — VERDICT r3 weak #3's per-sweep train_sse re-ran the user
-            # half exchange on every sweep)
             U_new = _half_sweep_local(V_loc, ub, uplan, upr, cfg, axis)
             V_new, sse_loc = _half_sweep_local(U_new, ib, iplan, ipr, cfg,
-                                               axis, with_sse=True)
+                                               axis, with_sse=True,
+                                               sse_separate=sse_sep)
             return U_new, V_new, jax.lax.psum(sse_loc, axis)
 
         def sse_body(U_loc, V_loc, ub, uplan):

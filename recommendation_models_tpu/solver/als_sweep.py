@@ -568,18 +568,24 @@ def make_scanned_fit(
     leave -1 in the history (the host trims them off).
     """
 
-    explicit = cfg.alpha is None
+    # Riding identity vs separate masked_sse pass: measured per config
+    # class (r5 whole-epoch A/B, config.sse_separate_for — riding looks
+    # free but loses 18 ms/epoch at the ML-25M-rank-64 class, and wins
+    # everywhere else measured). cfg.sse_mode overrides.
+    from recommendation_models_tpu.config import sse_separate_for
+    separate = sse_separate_for(cfg, nnz)
 
     def one_sweep(U, V, ub, ib):
         U = half_sweep(V, ub, n_users, cfg)
-        if explicit:
-            # SSE falls out of the item half-sweep's solves for free and
-            # equals masked_sse(U_new, V_new) (tested).
-            V, sse = half_sweep(U, ib, n_items, cfg, with_sse=True)
-        else:
+        if separate:
             V = half_sweep(U, ib, n_items, cfg)
             sse = masked_sse(U, V, ub, chunk=cfg.chunk,
                              gather_budget_mb=cfg.gather_budget_mb)
+        else:
+            # SSE falls out of the item half-sweep's solves via the
+            # identity sse = sum w r^2 - 2 x.rhs + x^T G x (equals
+            # masked_sse(U_new, V_new); tested)
+            V, sse = half_sweep(U, ib, n_items, cfg, with_sse=True)
         return U, V, sse
 
     # the generic wrapper owns the scan/while_loop/tol/history machinery

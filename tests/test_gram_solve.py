@@ -255,6 +255,63 @@ def test_gather_budget_auto_policy_pins():
     assert gather_budget_for_rank(128, 77_037_080) == 1536   # 100M class
 
 
+def test_sse_mode_policy_pins():
+    """config.sse_separate_for — the r5 riding-vs-separate A/B table (see
+    SolveConfig.sse_mode). Only the ML-25M-rank-64 class takes the
+    separate pass; implicit always does (no riding identity exists)."""
+    import dataclasses
+    from recommendation_models_tpu.config import (
+        SolveConfig, sse_separate_for)
+    c64 = SolveConfig(rank=64)
+    assert sse_separate_for(c64, 19_027_200)          # ml25m r64
+    assert not sse_separate_for(c64, 646_100)         # ml1m
+    assert not sse_separate_for(c64, 77_037_080)      # synth100m
+    assert not sse_separate_for(c64, None)            # unknown size
+    assert not sse_separate_for(SolveConfig(rank=128), 19_027_200)
+    # implicit: always the direct pass, regardless of mode
+    ci = SolveConfig(rank=64, alpha=40.0, sse_mode="riding")
+    assert sse_separate_for(ci, 646_100)
+    # explicit override
+    assert sse_separate_for(
+        dataclasses.replace(c64, sse_mode="separate"), 100)
+    assert not sse_separate_for(
+        dataclasses.replace(c64, sse_mode="riding"), 19_027_200)
+    import pytest
+    with pytest.raises(ValueError):
+        sse_separate_for(dataclasses.replace(c64, sse_mode="bogus"), 1)
+
+
+def test_scanned_fit_sse_modes_agree(rng):
+    """Riding identity and separate masked_sse produce the same history
+    (the identity equals masked_sse(U_new, V_new) — the r5 A/B is purely
+    a performance choice)."""
+    import jax.numpy as jnp
+    from recommendation_models_tpu.config import SolveConfig
+    from recommendation_models_tpu.data.layout import layout_from_coo
+    from recommendation_models_tpu.solver.als_sweep import (
+        device_buckets, make_scanned_fit)
+    n_users, n_items, k = 40, 30, 4
+    rows = rng.integers(0, n_users, 400)
+    cols = rng.integers(0, n_items, 400)
+    keep = np.unique(rows * n_items + cols, return_index=True)[1]
+    rows, cols = rows[keep], cols[keep]
+    vals = rng.uniform(1, 5, rows.shape[0]).astype(np.float32)
+    ub = device_buckets(layout_from_coo(rows, cols, vals, n_users, n_items))
+    ib = device_buckets(layout_from_coo(rows, cols, vals, n_users, n_items,
+                                        transpose=True))
+    U0 = 0.1 * rng.standard_normal((n_users, k)).astype(np.float32)
+    V0 = 0.1 * rng.standard_normal((n_items, k)).astype(np.float32)
+    hists = {}
+    for mode in ("riding", "separate"):
+        cfg = SolveConfig(rank=k, reg=0.1, solver="xla",
+                          compute_dtype="float32", sse_mode=mode)
+        fit = make_scanned_fit(ub, ib, n_users, n_items, cfg, 3)
+        *_, hist, n_done = fit(jnp.asarray(U0), jnp.asarray(V0))
+        hists[mode] = np.asarray(hist)
+    np.testing.assert_allclose(hists["riding"], hists["separate"],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_solve_spd_t_large_rank_falls_back(rng):
     """k > 160 with a multi-block batch is outside the Mosaic lane limit:
     solve_spd_t must route to the XLA anchor (same answers)."""
