@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="multislice pods: slice-major device ordering "
                              "so ring collectives cross DCN only at slice "
                              "boundaries (parallel.mesh)")
+    engine.add_argument("--sse-mode", default="auto",
+                        choices=["auto", "riding", "separate"],
+                        help="per-sweep SSE strategy (measured per-config"
+                             "-class auto policy, config.sse_separate_for)")
     engine.add_argument("--gather-budget-mb", type=int, default=0,
                         help="row-block gather budget (MB); 0 = rank- and "
                              "size-aware auto (config.gather_budget_for_rank)")
@@ -155,6 +159,7 @@ def main(argv: Optional[list] = None) -> int:
         model = ALS(rank=args.rank, reg=args.reg, alpha=args.alpha,
                     n_sweeps=args.n_sweeps, tol=args.tol, seed=args.seed,
                     solver=args.solver, compute_dtype=args.compute_dtype,
+                    sse_mode=args.sse_mode,
                     gather_budget_mb=args.gather_budget_mb,
                     n_shards=args.n_shards, num_slices=args.num_slices,
                     topology=args.topology, exchange=args.exchange,
