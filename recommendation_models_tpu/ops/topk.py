@@ -290,8 +290,11 @@ def grouped_exclusion_topk(user_ids, n, indptr, indices, query_rows, topk,
         excl = np.where(valid, gathered, -1).astype(np.int32)
         for q in range(0, grp.shape[0], query_chunk):
             sl = slice(q, q + query_chunk)
-            sc, it = topk(query_rows(user_ids[grp[sl]]), n,
-                          jnp.asarray(excl[sl]))
+            # pass the HOST block: the serving-permutation wrapper maps
+            # exclusion ids on host (permuted_topk), and every backend
+            # jnp.asarray's its exclude anyway — uploading here would
+            # round-trip whale-group blocks device->host->device (r5)
+            sc, it = topk(query_rows(user_ids[grp[sl]]), n, excl[sl])
             out_s[grp[sl]] = np.asarray(sc)
             out_i[grp[sl]] = np.asarray(it)
     return out_s, out_i
