@@ -65,6 +65,33 @@ def test_make_fit_matches_stepwise(alpha, exchange):
     np.testing.assert_allclose(np.asarray(hist), ref_hist, rtol=2e-4)
 
 
+def test_sharded_sse_modes_agree():
+    """The sharded program's riding identity and separate item-side
+    masked_sse pass (config.sse_separate_for — a pure performance choice,
+    r5) produce the same factors and the same history."""
+    import dataclasses
+    hists = {}
+    for mode in ("riding", "separate"):
+        R = tiny_problem(60, 44, density=0.3, seed=0)
+        indptr, indices, data, n_users, n_items = csr_arrays(R)
+        rows = np.repeat(np.arange(n_users), np.diff(indptr))
+        mesh = get_mesh(8, platform="cpu")
+        cfg = SolveConfig(rank=6, reg=0.2, solver="xla",
+                          compute_dtype="float32", sse_mode=mode)
+        ul = shard_layout(build_layout(indptr, indices, data, n_users,
+                                       n_items), 8)
+        il = shard_layout(layout_from_coo(rows, indices, data, n_users,
+                                          n_items, transpose=True), 8)
+        prog = ShardedALSProgram(ul, il, mesh, cfg)
+        U, V, hist, _ = prog.make_fit(3)(
+            *prog.init_factors(seed=2, init_scale=0.1))
+        hists[mode] = (to_host(U), np.asarray(hist))
+    np.testing.assert_allclose(hists["riding"][0], hists["separate"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(hists["riding"][1], hists["separate"][1],
+                               rtol=2e-4)
+
+
 def test_make_fit_tol_stops_early():
     prog, R = _prog()
     nnz = R.nnz
